@@ -1,14 +1,17 @@
 """Test configuration: force CPU with 8 virtual devices for mesh tests.
 
-Must run before jax is imported anywhere (pytest imports conftest first).
+The environment pins JAX_PLATFORMS=axon (the tunneled TPU).  For tests we run
+on CPU with 8 virtual devices so sharding/mesh tests work without real chips.
+``jax.config.update('jax_platforms', ...)`` is the override that actually takes
+effect here (mutating os.environ['JAX_PLATFORMS'] does not deregister axon).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,168 @@
+"""Spectral (Fourier) convolutions — rfft, truncated complex mode mixing, irfft.
+
+TPU-native port of ``pdearena/pdearena/modules/fourier.py`` (SpectralConv1d/2d/3d)
+and the UNO spectral conv (``pdearena/pdearena/modules/twod_uno.py:39-114``).
+Complex weights are stored as trailing-dim real pairs in fp32; FFTs run in
+fp32/complex64 (TPU FFT precision), and the mode-mixing contraction is an
+einsum that XLA maps onto the MXU as a batched complex matmul.
+
+Layout is NHWC: spatial FFT axes are (1, 2) for 2D inputs ``(B, H, W, C)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _as_complex(w: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.complex(w[..., 0], w[..., 1])
+
+
+class SpectralConv1d(nn.Module):
+    """1D Fourier layer (``fourier.py:28-69``).  Input (B, L, C)."""
+
+    out_channels: int
+    modes: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        scale = 1.0 / (in_channels * self.out_channels)
+        w = self.param(
+            "weights",
+            lambda k, s: scale * jax.random.uniform(k, s, jnp.float32),
+            (in_channels, self.out_channels, self.modes, 2))
+        orig_dtype = x.dtype
+        x_ft = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
+        mixed = jnp.einsum("bxi,iox->bxo", x_ft[:, :self.modes, :],
+                           _as_complex(w))
+        out_ft = jnp.zeros((x.shape[0], x.shape[1] // 2 + 1,
+                            self.out_channels), jnp.complex64)
+        out_ft = out_ft.at[:, :self.modes, :].set(mixed)
+        y = jnp.fft.irfft(out_ft, n=x.shape[1], axis=1)
+        return y.astype(orig_dtype)
+
+
+class SpectralConv2d(nn.Module):
+    """2D Fourier layer (``fourier.py:72-122``).  Input (B, H, W, C).
+
+    Keeps ``modes1`` frequencies on the (pos and neg) H axis and ``modes2`` on
+    the half-spectrum W axis, with separate weights for the positive- and
+    negative-H corners, exactly as the reference.
+    """
+
+    out_channels: int
+    modes1: int
+    modes2: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        scale = 1.0 / (in_channels * self.out_channels)
+        shape = (in_channels, self.out_channels, self.modes1, self.modes2, 2)
+        w1 = self.param(
+            "weights1", lambda k, s: scale * jax.random.uniform(k, s, jnp.float32),
+            shape)
+        w2 = self.param(
+            "weights2", lambda k, s: scale * jax.random.uniform(k, s, jnp.float32),
+            shape)
+        orig_dtype = x.dtype
+        b, h, w, _ = x.shape
+        x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
+        top = jnp.einsum("bxyi,ioxy->bxyo",
+                         x_ft[:, :self.modes1, :self.modes2, :],
+                         _as_complex(w1))
+        bot = jnp.einsum("bxyi,ioxy->bxyo",
+                         x_ft[:, -self.modes1:, :self.modes2, :],
+                         _as_complex(w2))
+        out_ft = jnp.zeros((b, h, w // 2 + 1, self.out_channels), jnp.complex64)
+        out_ft = out_ft.at[:, :self.modes1, :self.modes2, :].set(top)
+        out_ft = out_ft.at[:, -self.modes1:, :self.modes2, :].set(bot)
+        y = jnp.fft.irfft2(out_ft, s=(h, w), axes=(1, 2))
+        return y.astype(orig_dtype)
+
+
+class SpectralConv3d(nn.Module):
+    """3D Fourier layer (``fourier.py:125-190``).  Input (B, D, H, W, C)."""
+
+    out_channels: int
+    modes1: int
+    modes2: int
+    modes3: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        scale = 1.0 / (in_channels * self.out_channels)
+        shape = (in_channels, self.out_channels,
+                 self.modes1, self.modes2, self.modes3, 2)
+        ws = [self.param(
+            f"weights{i+1}",
+            lambda k, s: scale * jax.random.uniform(k, s, jnp.float32), shape)
+            for i in range(4)]
+        orig_dtype = x.dtype
+        b, d, h, w, _ = x.shape
+        x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3))
+        m1, m2, m3 = self.modes1, self.modes2, self.modes3
+        out_ft = jnp.zeros((b, d, h, w // 2 + 1, self.out_channels),
+                           jnp.complex64)
+        corners = [
+            (slice(None, m1), slice(None, m2)),
+            (slice(-m1, None), slice(None, m2)),
+            (slice(None, m1), slice(-m2, None)),
+            (slice(-m1, None), slice(-m2, None)),
+        ]
+        for wgt, (s1, s2) in zip(ws, corners):
+            mixed = jnp.einsum("bxyzi,ioxyz->bxyzo",
+                               x_ft[:, s1, s2, :m3, :], _as_complex(wgt))
+            out_ft = out_ft.at[:, s1, s2, :m3, :].set(mixed)
+        y = jnp.fft.irfftn(out_ft, s=(d, h, w), axes=(1, 2, 3))
+        return y.astype(orig_dtype)
+
+
+class SpectralConv2dUno(nn.Module):
+    """UNO spectral conv with output-grid resizing and 'forward' FFT norm
+    (``twod_uno.py:39-114``).  Input (B, H, W, C) -> (B, dim1, dim2, C_out)."""
+
+    out_channels: int
+    dim1: int
+    dim2: int
+    modes1: Optional[int] = None
+    modes2: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, dim1: Optional[int] = None,
+                 dim2: Optional[int] = None) -> jnp.ndarray:
+        d1 = dim1 if dim1 is not None else self.dim1
+        d2 = dim2 if dim2 is not None else self.dim2
+        m1 = self.modes1 if self.modes1 is not None else self.dim1 // 2 - 1
+        m2 = self.modes2 if self.modes2 is not None else self.dim2 // 2
+        in_channels = x.shape[-1]
+        scale = (1.0 / (2.0 * in_channels)) ** 0.5
+        shape = (in_channels, self.out_channels, m1, m2, 2)
+        w1 = self.param("weights1",
+                        lambda k, s: scale * jax.random.normal(k, s, jnp.float32),
+                        shape)
+        w2 = self.param("weights2",
+                        lambda k, s: scale * jax.random.normal(k, s, jnp.float32),
+                        shape)
+        orig_dtype = x.dtype
+        b, h, w, _ = x.shape
+        x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2),
+                             norm="forward")
+        top = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :],
+                         _as_complex(w1))
+        bot = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2, :],
+                         _as_complex(w2))
+        out_ft = jnp.zeros((b, d1, d2 // 2 + 1, self.out_channels),
+                           jnp.complex64)
+        out_ft = out_ft.at[:, :m1, :m2, :].set(top)
+        out_ft = out_ft.at[:, -m1:, :m2, :].set(bot)
+        y = jnp.fft.irfft2(out_ft, s=(d1, d2), axes=(1, 2), norm="forward")
+        return y.astype(orig_dtype)
