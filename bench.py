@@ -1,0 +1,55 @@
+"""Benchmark entry point — prints ONE JSON line for the driver.
+
+Metric: Unetbase-64 forward latency at the reference benchmark configuration
+(batch 8, 4 history frames, 3 fields, 128x128 grid, fp32), directly comparable
+to the published ``pdearena/docs/modelzoo.md:44`` number: **0.021 s on a
+Tesla V100-16GB** (``fwdbench.py:27-77`` protocol: warmup then timed repeats).
+
+``vs_baseline`` is the speedup over that published number
+(baseline_seconds / our_seconds; > 1 means faster than the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from unet_design_tpu.models import registry
+
+    model = registry.build_model("Unetbase-64", n_scalar_components=1,
+                                 n_vector_components=1, time_history=4,
+                                 time_future=1, activation="gelu")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 4, 128, 128, 3), jnp.float32)
+    variables = model.init(rng, x)
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x)
+
+    # warmup (compile + cache)
+    for _ in range(3):
+        fwd(variables, x).block_until_ready()
+
+    n_repeats = 20
+    start = time.perf_counter()
+    for _ in range(n_repeats):
+        out = fwd(variables, x)
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - start) / n_repeats
+
+    baseline_s = 0.021  # V100-16GB, pdearena/docs/modelzoo.md:44
+    print(json.dumps({
+        "metric": "unetbase64_fwd_seconds_bs8_128px_fp32",
+        "value": round(elapsed, 6),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / elapsed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,16 @@ class MultiResUNet(nn.Module):
         n = self.n_levels if n_levels_used is None else n_levels_used
         assert 1 <= n <= self.n_levels
 
+        if self.is_initializing():
+            # Materialize every per-level tail (and time embedding) so that a
+            # full-depth init covers all staged/truncated forwards — the
+            # reference constructs tail_list/time_embedding_list eagerly for
+            # all levels (diff_cifar/model.py:337,393-397).
+            for l in range(self.n_levels):
+                self.tails[l](jnp.zeros((1, 1, 1, self.ch * self.ch_mult[l]),
+                                        self.dtype))
+                self.time_embedding_list[l](t)
+
         # head: channel-tile the input to the entry level's width
         entry = self.n_levels - n
         h = wavelet.channel_tile(x.astype(self.dtype),

@@ -1,0 +1,108 @@
+"""Device mesh and sharding — the TPU-native replacement for the reference's
+parallelism (SURVEY.md §2e).
+
+The reference has exactly two mechanisms, both data-parallel:
+``torch.nn.DataParallel`` (``diff_cifar/main.py:235-238``) and Lightning DDP
+with rank-sharded datapipes (``datapipes/shallowwater2d.py:68-87``).  Here both
+become a ``jax.sharding.Mesh`` with a ``data`` axis: the batch is sharded, the
+params are replicated, and XLA inserts the gradient all-reduce over ICI.  An
+optional ``model`` axis additionally shards the widest conv/dense kernels over
+their output-channel dimension (tensor parallelism) — beyond the reference's
+capability, but natural on a mesh.
+
+Multi-host: call :func:`initialize_distributed` first (maps to
+``jax.distributed.initialize``); data loading keys off ``jax.process_index()``
+exactly where the reference keys off ``dist.get_rank()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-process init (no-op for single-process runs)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh.  ``data`` defaults to all devices / model."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    assert data * model == len(devices), (data, model, len(devices))
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays with the batch axis over 'data'."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def _kernel_spec(path_leaf_shape: Tuple[int, ...], min_channels: int
+                 ) -> P:
+    """Tensor-parallel spec: shard the trailing (output-channel) dim of
+    large kernels; replicate everything else."""
+    if len(path_leaf_shape) >= 2 and path_leaf_shape[-1] >= min_channels:
+        return P(*([None] * (len(path_leaf_shape) - 1)), "model")
+    return P()
+
+
+def tensor_parallel_params(params: Any, mesh: Mesh,
+                           min_channels: int = 128) -> Any:
+    """Shard conv/dense kernels' output channels over the 'model' axis.
+
+    XLA GSPMD propagates the sharding through the network and inserts the
+    needed collectives; activations stay replicated on 'model' unless
+    constrained otherwise.  With model=1 this is plain replication.
+    """
+    def put(x):
+        if mesh.shape.get("model", 1) > 1 and hasattr(x, "shape"):
+            spec = _kernel_spec(x.shape, min_channels)
+            # channel dim must divide evenly or we replicate
+            if spec != P() and x.shape[-1] % mesh.shape["model"] != 0:
+                spec = P()
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, params)
+
+
+def data_parallel_jit(step_fn, mesh: Mesh, state_sharded_as_params: bool = True):
+    """Jit a (state, batch) -> (state, ...) step for the mesh: state
+    replicated, batch sharded over 'data'.  Gradient all-reduce is inserted by
+    XLA because the loss reduces over the sharded batch axis."""
+    repl = NamedSharding(mesh, P())
+
+    def in_shardings(state, batch):
+        return (jax.tree_util.tree_map(lambda _: repl, state),
+                jax.tree_util.tree_map(
+                    lambda x: batch_sharding(mesh, x.ndim), batch))
+
+    # jax.jit with shardings given positionally needs static structure; use
+    # device_put on inputs instead and let jit infer.
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -1,0 +1,304 @@
+"""Diffusion processes (L3) — DDPM training losses and `lax.scan` samplers.
+
+Two process stacks exist in the reference and both are provided:
+
+- :class:`DDPMSchedule` + :func:`ddpm_loss` + :func:`ddpm_sample` — the
+  discrete-time DDPM of diff_cifar (``diff_cifar/diffusion.py:17-222``):
+  linear betas, eps/xstart/xprev mean parameterizations, fixedlarge/fixedsmall
+  variances, T-step ancestral sampling, clip to [-1, 1].
+- :class:`VPDiffusion` — the continuous-time VP formulation of diff_mnist
+  (``torch_ddpm/ddpm/diffusion.py:41-174``): beta(t) linspace buffers, staged
+  partitioned t-sampling, (optionally resolution-weighted) multi-res loss,
+  N-step reverse sampler over ``linspace(T, eps, N)``.
+
+TPU design: schedule buffers are computed in float64 numpy at construction
+(mirroring the reference's ``.double()`` buffers) and stored as fp32 device
+arrays; the reverse loops are single ``lax.scan`` programs with the full U-Net
+as the scan body — the entire T-step sampler is one XLA computation, which is
+where the sampling-throughput win over the PyTorch loop comes from.
+
+The model is passed as ``model_fn(x, t, n_levels_used)`` returning either a
+tensor or a list (multi-res mode, decoder order, finest last).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_design_tpu.ops import wavelet
+
+ModelFn = Callable[..., Union[jnp.ndarray, List[jnp.ndarray]]]
+
+
+def _extract(v: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-timestep coefficients, broadcastable to an ndim tensor."""
+    out = v[t]
+    return out.reshape(t.shape[0], *([1] * (ndim - 1)))
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    """Discrete DDPM schedule buffers (``diff_cifar/diffusion.py:27-37,109-136``)."""
+
+    betas: jnp.ndarray
+    sqrt_alphas_bar: jnp.ndarray
+    sqrt_one_minus_alphas_bar: jnp.ndarray
+    sqrt_recip_alphas_bar: jnp.ndarray
+    sqrt_recipm1_alphas_bar: jnp.ndarray
+    posterior_var: jnp.ndarray
+    posterior_log_var_clipped: jnp.ndarray
+    posterior_mean_coef1: jnp.ndarray
+    posterior_mean_coef2: jnp.ndarray
+    fixedlarge_log_var: jnp.ndarray
+
+    @property
+    def T(self) -> int:
+        return self.betas.shape[0]
+
+    @classmethod
+    def create(cls, beta_1: float = 1e-4, beta_T: float = 0.02,
+               T: int = 1000) -> "DDPMSchedule":
+        betas = np.linspace(beta_1, beta_T, T, dtype=np.float64)
+        alphas = 1.0 - betas
+        alphas_bar = np.cumprod(alphas)
+        alphas_bar_prev = np.concatenate([[1.0], alphas_bar[:-1]])
+        posterior_var = betas * (1.0 - alphas_bar_prev) / (1.0 - alphas_bar)
+        post_log_var = np.log(
+            np.concatenate([posterior_var[1:2], posterior_var[1:]]))
+        fixedlarge_log_var = np.log(
+            np.concatenate([posterior_var[1:2], betas[1:]]))
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        return cls(
+            betas=f32(betas),
+            sqrt_alphas_bar=f32(np.sqrt(alphas_bar)),
+            sqrt_one_minus_alphas_bar=f32(np.sqrt(1.0 - alphas_bar)),
+            sqrt_recip_alphas_bar=f32(np.sqrt(1.0 / alphas_bar)),
+            sqrt_recipm1_alphas_bar=f32(np.sqrt(1.0 / alphas_bar - 1.0)),
+            posterior_var=f32(posterior_var),
+            posterior_log_var_clipped=f32(post_log_var),
+            posterior_mean_coef1=f32(
+                np.sqrt(alphas_bar_prev) * betas / (1.0 - alphas_bar)),
+            posterior_mean_coef2=f32(
+                np.sqrt(alphas) * (1.0 - alphas_bar_prev)
+                / (1.0 - alphas_bar)),
+            fixedlarge_log_var=f32(fixedlarge_log_var),
+        )
+
+
+def ddpm_forward_noise(schedule: DDPMSchedule, x0: jnp.ndarray,
+                       t: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+    """q(x_t | x_0):  sqrt(a-bar) x0 + sqrt(1 - a-bar) eps."""
+    nd = x0.ndim
+    return (_extract(schedule.sqrt_alphas_bar, t, nd) * x0
+            + _extract(schedule.sqrt_one_minus_alphas_bar, t, nd) * noise)
+
+
+def ddpm_loss(model_fn: ModelFn, schedule: DDPMSchedule, rng: jax.Array,
+              x0: jnp.ndarray, n_levels_used: int, n_levels: int,
+              n_downsample: int = 0, multi_res_loss: bool = False,
+              sequ_train_algo: bool = False
+              ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Algorithm-1 training loss (``diff_cifar/diffusion.py:38-91``).
+
+    ``x0`` is the (already stage-downsampled) batch in NHWC.  With
+    ``multi_res_loss`` the targets are the DWT pyramid of the noise in decoder
+    order; the loss is the unweighted sum of per-level MSEs.
+    """
+    t_rng, noise_rng = jax.random.split(rng)
+    t = jax.random.randint(t_rng, (x0.shape[0],), 0, schedule.T)
+    noise = jax.random.normal(noise_rng, x0.shape, x0.dtype)
+    x_t = ddpm_forward_noise(schedule, x0, t, noise)
+    model_out = model_fn(x_t, t, n_levels_used)
+
+    if multi_res_loss:
+        targets = wavelet.multires_targets(
+            noise, n_levels, n_downsample if sequ_train_algo else 0)
+        # only the levels the truncated decoder actually emitted
+        targets = targets[-len(model_out):]
+        loss = 0.0
+        loss_list = []
+        for out, tgt in zip(model_out, targets):
+            l = jnp.mean((out - tgt) ** 2)
+            loss = loss + l
+            loss_list.append(l)
+        return loss, loss_list
+    loss = jnp.mean((model_out - noise) ** 2)
+    return loss, []
+
+
+def ddpm_sample(model_fn: ModelFn, schedule: DDPMSchedule, rng: jax.Array,
+                x_T: jnp.ndarray, n_levels_used: int,
+                mean_type: str = "epsilon", var_type: str = "fixedlarge",
+                multi_res_loss: bool = False, clip: bool = True
+                ) -> jnp.ndarray:
+    """Ancestral sampler as one ``lax.scan`` over T steps
+    (``diff_cifar/diffusion.py:169-222``)."""
+    assert mean_type in ("xprev", "xstart", "epsilon")
+    assert var_type in ("fixedlarge", "fixedsmall")
+    log_var_buf = (schedule.fixedlarge_log_var if var_type == "fixedlarge"
+                   else schedule.posterior_log_var_clipped)
+    nd = x_T.ndim
+
+    def q_posterior_mean(x0, x_t, t):
+        return (_extract(schedule.posterior_mean_coef1, t, nd) * x0
+                + _extract(schedule.posterior_mean_coef2, t, nd) * x_t)
+
+    def body(x_t, inputs):
+        time_step, step_rng = inputs
+        t = jnp.full((x_T.shape[0],), time_step, jnp.int32)
+        out = model_fn(x_t, t, n_levels_used)
+        if multi_res_loss:
+            out = out[-1]
+        if mean_type == "xprev":
+            x0 = (_extract(1.0 / schedule.posterior_mean_coef1, t, nd) * out
+                  - _extract(schedule.posterior_mean_coef2
+                             / schedule.posterior_mean_coef1, t, nd) * x_t)
+            mean = out
+        elif mean_type == "xstart":
+            x0 = out
+            mean = q_posterior_mean(jnp.clip(x0, -1.0, 1.0) if clip else x0,
+                                    x_t, t)
+        else:  # epsilon
+            x0 = (_extract(schedule.sqrt_recip_alphas_bar, t, nd) * x_t
+                  - _extract(schedule.sqrt_recipm1_alphas_bar, t, nd) * out)
+            if clip:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            mean = q_posterior_mean(x0, x_t, t)
+        log_var = _extract(log_var_buf, t, nd)
+        noise = jax.random.normal(step_rng, x_t.shape, x_t.dtype)
+        noise = jnp.where(time_step > 0, noise, jnp.zeros_like(noise))
+        x_next = mean + jnp.exp(0.5 * log_var) * noise
+        return x_next, None
+
+    steps = jnp.arange(schedule.T - 1, -1, -1)
+    rngs = jax.random.split(rng, schedule.T)
+    x0, _ = jax.lax.scan(body, x_T, (steps, rngs))
+    return jnp.clip(x0, -1.0, 1.0) if clip else x0
+
+
+# ----------------------------------------------------------------------------
+# Continuous-time VP diffusion (diff_mnist)
+# ----------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class VPDiffusion:
+    """``Diffusion`` (``torch_ddpm/ddpm/diffusion.py:41-174``)."""
+
+    discrete_betas: jnp.ndarray
+    alphas: jnp.ndarray
+    sqrt_alphas_cumprod: jnp.ndarray
+    sqrt_1m_alphas_cumprod: jnp.ndarray
+    N: int
+    T: float
+    eps: float
+    multi_res_loss: bool
+    weighted_multi_res_loss: bool
+
+    @classmethod
+    def create(cls, beta_min: float = 0.1, beta_max: float = 20.0,
+               N: int = 1000, eps: float = 1e-3, T: float = 1.0,
+               multi_res_loss: bool = False,
+               weighted_multi_res_loss: bool = False) -> "VPDiffusion":
+        betas = np.linspace(beta_min / N, beta_max / N, N, dtype=np.float64)
+        alphas = 1.0 - betas
+        acp = np.cumprod(alphas)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        return cls(discrete_betas=f32(betas), alphas=f32(alphas),
+                   sqrt_alphas_cumprod=f32(np.sqrt(acp)),
+                   sqrt_1m_alphas_cumprod=f32(np.sqrt(1.0 - acp)),
+                   N=N, T=T, eps=eps, multi_res_loss=multi_res_loss,
+                   weighted_multi_res_loss=weighted_multi_res_loss)
+
+    def sample_t(self, rng: jax.Array, batch: int,
+                 stage: Optional[int] = None,
+                 n_stages: Optional[int] = None) -> jnp.ndarray:
+        """Uniform timestep indices; staged training restricts to the top
+        time interval (``diffusion.py:71-84``)."""
+        if stage is not None:
+            assert n_stages is not None
+            n_min = int(self.N * ((n_stages - stage - 1) / n_stages))
+            return jax.random.randint(rng, (batch,), n_min, self.N)
+        return jax.random.randint(rng, (batch,), 0, self.N)
+
+    def sample_x(self, rng: jax.Array, x0: jnp.ndarray, t: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward noising x_t(x_0, eps) (``diffusion.py:86-94``)."""
+        noise = jax.random.normal(rng, x0.shape, x0.dtype)
+        nd = x0.ndim
+        x_t = (_extract(self.sqrt_alphas_cumprod, t, nd) * x0
+               + _extract(self.sqrt_1m_alphas_cumprod, t, nd) * noise)
+        return x_t, noise
+
+    def loss(self, model_output, noise, last_loss_schedule_weight: float = 1.0
+             ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """(Optionally weighted) multi-res MSE (``diffusion.py:97-134``).
+
+        Note: the reference computes the resolution weight with ``^`` (XOR)
+        instead of ``**`` (``diffusion.py:108``); we implement the intended
+        inverse-pixel-count weighting ``1 / res**2``.
+        """
+        if self.multi_res_loss:
+            if self.weighted_multi_res_loss:
+                w = np.array([1.0 / (out.shape[1] ** 2)
+                              for out in model_output])
+                weights = (w / w.sum()).tolist()
+            else:
+                weights = [1.0] * len(model_output)
+            loss = 0.0
+            loss_list = []
+            for i, (out, n) in enumerate(zip(model_output, noise)):
+                l = jnp.mean((out - n) ** 2)
+                wi = weights[i] * (last_loss_schedule_weight
+                                   if i == len(model_output) - 1 else 1.0)
+                loss = loss + l * wi
+                loss_list.append(l)
+            return loss, loss_list
+        loss = jnp.mean((model_output - noise) ** 2)
+        return loss, []
+
+    def reverse_mean_scale(self, model_fn: ModelFn, x_t: jnp.ndarray,
+                           t: jnp.ndarray, n_levels_used: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Score-based reverse mean/scale (``diffusion.py:136-151``)."""
+        timestep = t * (self.N - 1) / self.T
+        t_label = timestep.astype(jnp.int32)
+        nd = x_t.ndim
+        beta = _extract(self.discrete_betas, t_label, nd)
+        pred = model_fn(x_t, timestep, n_levels_used)
+        if self.multi_res_loss:
+            pred = pred[-1]
+        std = _extract(self.sqrt_1m_alphas_cumprod, t_label, nd)
+        score = -pred / std
+        x_mean = (x_t + beta * score) / jnp.sqrt(1.0 - beta)
+        return x_mean, jnp.sqrt(beta)
+
+    def reverse_sample(self, model_fn: ModelFn, rng: jax.Array,
+                       x_T: jnp.ndarray, n_levels_used: int = -1,
+                       N: Optional[int] = None, T: Optional[float] = None,
+                       eps: Optional[float] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Reverse SDE sampler as one ``lax.scan``
+        (``diffusion.py:7-38,153-174``).  Returns (x, x_mean)."""
+        N = N if N is not None else self.N
+        T = T if T is not None else self.T
+        eps = eps if eps is not None else self.eps
+        timesteps = jnp.linspace(T, eps, N)
+
+        def body(carry, inputs):
+            x, _ = carry
+            t_scalar, step_rng = inputs
+            t_vec = jnp.full((x_T.shape[0],), t_scalar, jnp.float32)
+            x_mean, scale = self.reverse_mean_scale(model_fn, x, t_vec,
+                                                    n_levels_used)
+            noise = jax.random.normal(step_rng, x.shape, x.dtype)
+            x = x_mean + scale * noise
+            return (x, x_mean), None
+
+        rngs = jax.random.split(rng, N)
+        (x, x_mean), _ = jax.lax.scan(body, (x_T, x_T), (timesteps, rngs))
+        return x, x_mean
