@@ -1,24 +1,30 @@
 """Benchmark entry point — prints ONE JSON line for the driver.
 
 Metric: Unetbase-64 forward latency at the reference benchmark configuration
-(batch 8, 4 history frames, 3 fields, 128x128 grid, fp32), directly comparable
-to the published ``pdearena/docs/modelzoo.md:44`` number: **0.021 s on a
-Tesla V100-16GB** (``fwdbench.py:27-77`` protocol: warmup then timed repeats).
+(batch 8, 4 history frames, 3 fields, 128x128 grid, fp32 inputs/params),
+directly comparable to the published ``pdearena/docs/modelzoo.md:44`` number:
+**0.021 s on a Tesla V100-16GB** (``benchmark/fwdbench.py:27-77`` protocol:
+warmup then timed repeats with device synchronization).
 
-``vs_baseline`` is the speedup over that published number
+Timing uses an in-graph ``lax.scan`` repeat with a forced dependency chain and
+a scalar fetch (see ``unet_design_tpu/utils/benchtime.py``) because
+``block_until_ready`` does not synchronize through tunneled TPU backends.
+
+``vs_baseline`` is the speedup over the published reference number
 (baseline_seconds / our_seconds; > 1 means faster than the reference).
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
     from unet_design_tpu.models import registry
+    from unet_design_tpu.utils import benchtime
 
     model = registry.build_model("Unetbase-64", n_scalar_components=1,
                                  n_vector_components=1, time_history=4,
@@ -27,20 +33,10 @@ def main() -> None:
     x = jax.random.normal(rng, (8, 4, 128, 128, 3), jnp.float32)
     variables = model.init(rng, x)
 
-    @jax.jit
-    def fwd(v, x):
-        return model.apply(v, x)
+    def fwd(x):
+        return model.apply(variables, x)
 
-    # warmup (compile + cache)
-    for _ in range(3):
-        fwd(variables, x).block_until_ready()
-
-    n_repeats = 20
-    start = time.perf_counter()
-    for _ in range(n_repeats):
-        out = fwd(variables, x)
-    out.block_until_ready()
-    elapsed = (time.perf_counter() - start) / n_repeats
+    elapsed = benchtime.measure(fwd, (x,), n_iters=20)
 
     baseline_s = 0.021  # V100-16GB, pdearena/docs/modelzoo.md:44
     print(json.dumps({

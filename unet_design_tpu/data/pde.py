@@ -1,0 +1,251 @@
+"""PDE trajectory datapipes: window slicing, HDF5/zarr openers, samplers.
+
+TPU-native re-design of ``pdearena/pdearena/data`` — torchdata datapipes
+become plain numpy generator pipelines feeding the device-prefetch loader:
+
+- :class:`PDEDataConfig` (``data/utils.py:9-14``).
+- :func:`create_data2d` — the pure window-slicing function
+  (``data/utils.py:17-71``), NHWC frames.
+- :class:`NavierStokesOpener` — HDF5 trajectory reader
+  (``datapipes/navierstokes2d.py:13-72``).
+- :class:`ShallowWaterOpener` — zarr/xarray reader with normalization stats
+  (``datapipes/shallowwater2d.py:17-165``); requires zarr+xarray, otherwise a
+  clear ImportError.  A ``.npz``-directory fallback covers pre-converted data.
+- :func:`randomized_train_windows` / :func:`eval_timestep_windows` — the
+  RandomizedPDETrainData / PDEEvalTimeStepData samplers
+  (``datapipes/common.py:251-392``), including the train-mode
+  ``cycle(trajlen)`` semantics.
+- :func:`synthetic_trajectories` — structured random trajectories for tests
+  and smoke runs.
+
+Frames are NHWC: u (T, H, W, n_scalar), v (T, H, W, 2 * n_vector).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from unet_design_tpu.data.loader import shard_for_process
+
+
+@dataclasses.dataclass
+class PDEDataConfig:
+    n_scalar_components: int
+    n_vector_components: int
+    trajlen: int
+    n_spatial_dims: int = 2
+
+
+def create_data2d(n_input_scalar: int, n_input_vector: int,
+                  n_output_scalar: int, n_output_vector: int,
+                  scalar_fields: Optional[np.ndarray],
+                  vector_fields: Optional[np.ndarray],
+                  start: int, time_history: int, time_future: int,
+                  time_gap: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Window-slice one trajectory into (input, target) (``data/utils.py:17-71``).
+
+    scalar_fields: (T, H, W, n_scalar); vector_fields: (T, H, W, 2*n_vector).
+    Returns (1, time_history, H, W, C_in), (1, time_future, H, W, C_out).
+    """
+    assert n_input_scalar > 0 or n_input_vector > 0
+    assert time_history > 0
+    end = start + time_history
+    tstart = end + time_gap
+    tend = tstart + time_future
+    parts_in, parts_out = [], []
+    if n_input_scalar > 0:
+        parts_in.append(scalar_fields[start:end, ..., :n_input_scalar])
+    if n_input_vector > 0:
+        parts_in.append(vector_fields[start:end, ..., :n_input_vector * 2])
+    if n_output_scalar > 0:
+        parts_out.append(scalar_fields[tstart:tend, ..., :n_output_scalar])
+    if n_output_vector > 0:
+        parts_out.append(vector_fields[tstart:tend, ..., :n_output_vector * 2])
+    data = np.concatenate(parts_in, axis=-1)[None]
+    targets = np.concatenate(parts_out, axis=-1)[None]
+    if targets.shape[-1] == 0:
+        raise ValueError("No targets")
+    return data, targets
+
+
+def max_start_time(trajlen: int, time_history: int, time_future: int,
+                   time_gap: int) -> int:
+    return trajlen - time_history - time_future - time_gap
+
+
+class NavierStokesOpener:
+    """Yields (u, v, cond) trajectories from PDEArena NS-2D HDF5 files."""
+
+    def __init__(self, paths: Sequence[str], mode: str,
+                 limit_trajectories: Optional[int] = None):
+        self.paths = list(paths)
+        self.mode = mode
+        self.limit = limit_trajectories
+
+    @staticmethod
+    def list_files(data_path: str, mode: str) -> List[str]:
+        files = sorted(glob.glob(os.path.join(data_path, "*.h5")))
+        return [f for f in files if mode in os.path.basename(f)]
+
+    def __iter__(self):
+        import h5py
+        for path in self.paths:
+            with h5py.File(path, "r") as f:
+                data = f[self.mode]
+                num = data["u"].shape[0]
+                if self.limit is not None and self.limit != -1:
+                    num = min(num, self.limit)
+                for idx in range(num):
+                    u = np.asarray(data["u"][idx], np.float32)[..., None]
+                    vx = np.asarray(data["vx"][idx], np.float32)
+                    vy = np.asarray(data["vy"][idx], np.float32)
+                    v = np.stack([vx, vy], axis=-1)
+                    cond = (np.float32(data["buo_y"][idx])
+                            if "buo_y" in data else None)
+                    yield u, v, cond
+
+
+class ShallowWaterOpener:
+    """Shallow-water-2D zarr reader (``datapipes/shallowwater2d.py:17-165``).
+
+    Reads vorticity (scalar) and wind vector fields, normalized by the
+    dataset's precomputed normstats.  Falls back to pre-converted ``.npz``
+    files (keys: ``u``, ``v``) when zarr/xarray are unavailable.
+    """
+
+    def __init__(self, paths: Sequence[str], mode: str,
+                 limit_trajectories: Optional[int] = None):
+        self.paths = list(paths)
+        self.mode = mode
+        self.limit = limit_trajectories
+
+    @staticmethod
+    def list_files(data_path: str, mode: str) -> List[str]:
+        out = []
+        for name in sorted(os.listdir(data_path)):
+            full = os.path.join(data_path, name)
+            if name.startswith(mode) and (name.endswith(".zarr")
+                                          or name.endswith(".npz")):
+                out.append(full)
+        return out
+
+    def __iter__(self):
+        count = 0
+        for path in self.paths:
+            if self.limit not in (None, -1) and count >= self.limit:
+                return
+            if path.endswith(".npz"):
+                d = np.load(path)
+                yield (np.asarray(d["u"], np.float32),
+                       np.asarray(d["v"], np.float32), None)
+                count += 1
+                continue
+            try:
+                import xarray as xr  # noqa
+            except ImportError as e:  # pragma: no cover
+                raise ImportError(
+                    "ShallowWaterOpener needs xarray+zarr for .zarr data; "
+                    "convert to .npz with scripts/convert_shallowwater.py "
+                    "or install xarray/zarr") from e
+            ds = xr.open_zarr(path)
+            normstat = None
+            normpath = os.path.join(os.path.dirname(path), "..",
+                                    "normstats.npz")
+            if os.path.exists(normpath):
+                normstat = np.load(normpath)
+            vor = np.asarray(ds["vor"].values, np.float32)
+            u_wind = np.asarray(ds["u"].values, np.float32)
+            v_wind = np.asarray(ds["v"].values, np.float32)
+            if normstat is not None:
+                vor = (vor - normstat["vor_mean"]) / normstat["vor_std"]
+            u = vor.reshape(vor.shape[0], *vor.shape[-2:])[..., None]
+            v = np.stack([u_wind.reshape(u.shape[:3]),
+                          v_wind.reshape(u.shape[:3])], axis=-1)
+            yield u, v, None
+            count += 1
+
+
+def randomized_train_windows(opener, pde: PDEDataConfig, time_history: int,
+                             time_future: int, time_gap: int,
+                             seed: int = 0,
+                             cycles: Optional[int] = None
+                             ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """RandomizedPDETrainData (``datapipes/common.py:251-319``): one random
+    window per trajectory visit; the train pipe cycles ``trajlen`` times per
+    epoch so in expectation all windows are seen."""
+    rng = np.random.default_rng(seed)
+    cycles = pde.trajlen if cycles is None else cycles
+    mst = max_start_time(pde.trajlen, time_history, time_future, time_gap)
+    for _ in range(cycles):
+        for (u, v, cond) in opener:
+            start = int(rng.integers(0, mst + 1))
+            yield create_data2d(pde.n_scalar_components,
+                                pde.n_vector_components,
+                                pde.n_scalar_components,
+                                pde.n_vector_components,
+                                u, v, start, time_history, time_future,
+                                time_gap)
+
+
+def eval_timestep_windows(opener, pde: PDEDataConfig, time_history: int,
+                          time_future: int, time_gap: int
+                          ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """PDEEvalTimeStepData (``datapipes/common.py:322-392``): deterministic
+    non-overlapping windows over every trajectory."""
+    mst = max_start_time(pde.trajlen, time_history, time_future, time_gap)
+    starts = list(range(0, mst + 1, time_gap + time_future))
+    for start in starts:
+        for (u, v, cond) in opener:
+            yield create_data2d(pde.n_scalar_components,
+                                pde.n_vector_components,
+                                pde.n_scalar_components,
+                                pde.n_vector_components,
+                                u, v, start, time_history, time_future,
+                                time_gap)
+
+
+def rollout_eval_trajectories(opener) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Full trajectories for rollout validation (second eval dataloader)."""
+    for (u, v, cond) in opener:
+        yield u, v, cond
+
+
+def batched_windows(window_iter, batch_size: int
+                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    xs, ys = [], []
+    for x, y in window_iter:
+        xs.append(x)
+        ys.append(y)
+        if len(xs) == batch_size:
+            yield np.concatenate(xs), np.concatenate(ys)
+            xs, ys = [], []
+
+
+def synthetic_trajectories(n_traj: int, pde: PDEDataConfig, res: int = 32,
+                           seed: int = 0):
+    """Smooth random trajectories (superposed decaying Fourier modes)."""
+    rng = np.random.default_rng(seed)
+    k = np.fft.fftfreq(res)[:, None] ** 2 + np.fft.fftfreq(res)[None, :] ** 2
+    trajs = []
+    for _ in range(n_traj):
+        def field(t_decay):
+            spec = (rng.standard_normal((res, res))
+                    + 1j * rng.standard_normal((res, res)))
+            spec *= np.exp(-400 * k)
+            frames = [np.real(np.fft.ifft2(spec * np.exp(-t_decay * t * k)))
+                      for t in range(pde.trajlen)]
+            out = np.stack(frames).astype(np.float32)
+            return out / (np.abs(out).max() + 1e-8)
+
+        u = np.stack([field(5.0) for _ in
+                      range(pde.n_scalar_components)], axis=-1)
+        v = (np.stack([field(5.0) for _ in
+                       range(2 * pde.n_vector_components)], axis=-1)
+             if pde.n_vector_components else None)
+        trajs.append((u, v, None))
+    return trajs
