@@ -1,0 +1,112 @@
+"""Tests for the evaluation layer: FID math, IS, WMH metrics, bootstrap."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unet_design_tpu.evalx import fid, metrics, wmh_metrics
+from unet_design_tpu.evalx.inception import InceptionV3FID
+
+
+def test_newton_schulz_matches_eigh_sqrt():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((16, 16))
+    spd = (a @ a.T + 16 * np.eye(16)).astype(np.float32)
+    s = np.asarray(fid.sqrt_newton_schulz(jnp.asarray(spd), 50))
+    np.testing.assert_allclose(s @ s, spd, rtol=1e-3, atol=1e-3)
+
+
+def test_frechet_distance_zero_for_identical():
+    rng = np.random.default_rng(1)
+    acts = rng.standard_normal((200, 8)).astype(np.float64)
+    mu, sigma = fid.activation_statistics(acts)
+    d = fid.frechet_distance(mu, sigma, mu, sigma)
+    assert abs(d) < 1e-2
+
+
+def test_frechet_distance_analytic():
+    """Diagonal Gaussians: d^2 = |dmu|^2 + sum (sqrt(s1)-sqrt(s2))^2."""
+    mu1, mu2 = np.zeros(3), np.ones(3)
+    s1 = np.diag([1.0, 4.0, 9.0])
+    s2 = np.diag([1.0, 1.0, 1.0])
+    d = fid.frechet_distance(mu1, s1, mu2, s2, use_torch_style=False)
+    expected = 3.0 + (0 ** 2 + 1 ** 2 + 2 ** 2)
+    np.testing.assert_allclose(d, expected, rtol=1e-5)
+    d2 = fid.frechet_distance(mu1, s1, mu2, s2, use_torch_style=True)
+    np.testing.assert_allclose(d2, expected, rtol=1e-2)
+
+
+def test_inception_score_uniform_vs_confident():
+    n, k = 100, 10
+    uniform = np.full((n, k), 1.0 / k)
+    m, s = fid.inception_score_from_probs(uniform)
+    np.testing.assert_allclose(m, 1.0, rtol=1e-5)
+    confident = np.eye(k)[np.arange(n) % k] * 0.999 + 1e-4
+    m2, _ = fid.inception_score_from_probs(confident)
+    assert m2 > 5.0
+
+
+@pytest.mark.slow
+def test_inception_v3_fid_shapes():
+    m = InceptionV3FID(output_blocks=(0, 1, 2, 3, 4), resize_input=False)
+    x = jnp.zeros((2, 299, 299, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert outs[0].shape[-1] == 64
+    assert outs[1].shape[-1] == 192
+    assert outs[2].shape[-1] == 768
+    assert outs[3].shape == (2, 2048)
+    assert outs[4].shape == (2, 1008)
+    np.testing.assert_allclose(np.asarray(outs[4]).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_wmh_dsc_and_avd():
+    t = np.zeros((4, 8, 8), bool)
+    r = np.zeros((4, 8, 8), bool)
+    t[1, 2:5, 2:5] = True
+    r[1, 2:5, 2:5] = True
+    assert wmh_metrics.dsc(t, r) == 1.0
+    assert wmh_metrics.avd(t, r) == 0.0
+    r[1, 2, 2] = False
+    assert 0.9 < wmh_metrics.dsc(t, r) < 1.0
+    np.testing.assert_allclose(wmh_metrics.avd(t, r), 100.0 / 9.0)
+
+
+def test_wmh_hausdorff_and_lesions():
+    t = np.zeros((3, 16, 16), bool)
+    r = np.zeros((3, 16, 16), bool)
+    t[1, 2:6, 2:6] = True       # lesion A (detected)
+    r[1, 2:6, 2:6] = True
+    t[1, 10:12, 10:12] = True   # lesion B (missed)
+    r[2, 12:14, 1:3] = True     # false positive lesion (far from A and B)
+    recall, precision, f1 = wmh_metrics.lesion_detection(t, r)
+    np.testing.assert_allclose(recall, 0.5)
+    np.testing.assert_allclose(precision, 0.5)
+    h = wmh_metrics.hausdorff95(t, t)
+    np.testing.assert_allclose(h, 0.0)
+    assert wmh_metrics.hausdorff95(t, r) > 0
+
+
+def test_threshold_sweep():
+    rng = np.random.default_rng(0)
+    masks = rng.random((10, 8, 8, 1)) > 0.7
+    probs = np.where(masks, 0.9, 0.1) + rng.normal(0, 0.05, masks.shape)
+    sweep, best = wmh_metrics.threshold_sweep(probs, masks)
+    assert len(sweep) == 9
+    assert sweep[best]["dsc"] > 0.9
+
+
+def test_bootstrap():
+    x = np.arange(100, dtype=np.float64)
+    mean, std = metrics.bootstrap(x, 64, 8)
+    assert 35 < mean < 65 and std > 0
+
+
+def test_rollout_mse_per_step():
+    p = jnp.ones((2, 5, 4, 4, 3))
+    t = jnp.zeros_like(p)
+    v = metrics.rollout_mse_per_step(p, t)
+    assert v.shape == (5,)
+    np.testing.assert_allclose(np.asarray(v), 1.0)
+    s = metrics.unrolled_summaries(v)
+    np.testing.assert_allclose(float(s["unrolled_loss"]), 5.0)

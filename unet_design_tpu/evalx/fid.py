@@ -1,0 +1,139 @@
+"""FID / Inception Score computation, on-device.
+
+Ports of ``diff_cifar/score/{fid.py, inception_score.py, both.py}``:
+
+- activation statistics (mu, sigma) from InceptionV3-FID pool3 features;
+- Frechet distance with either scipy ``sqrtm`` (float64, host) or the
+  Newton-Schulz matrix square root (``fid.py:46-64``) run on-device;
+- Inception Score: exp(mean KL) over ``splits`` chunks of softmax probs
+  (``inception_score.py:11-64``);
+- a precomputed-stats cache in the same ``.npz`` format as the reference's
+  ``stats/cifar10.train.npz`` (keys ``mu``, ``sigma``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_design_tpu.evalx.inception import InceptionV3FID
+
+
+def activation_statistics(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(acts, axis=0)
+    sigma = np.cov(acts, rowvar=False)
+    return mu, sigma
+
+
+def sqrt_newton_schulz(a: jnp.ndarray, num_iters: int = 100) -> jnp.ndarray:
+    """Matrix square root via Newton-Schulz iteration (``fid.py:46-64``)."""
+    dim = a.shape[0]
+    norm_a = jnp.linalg.norm(a)
+    y = a / norm_a
+    eye = jnp.eye(dim, dtype=a.dtype)
+    z = eye
+
+    def body(_, carry):
+        y, z = carry
+        t = 0.5 * (3.0 * eye - z @ y)
+        return (y @ t, t @ z)
+
+    y, z = jax.lax.fori_loop(0, num_iters, body, (y, z))
+    return y * jnp.sqrt(norm_a)
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray,
+                     sigma2: np.ndarray, eps: float = 1e-6,
+                     use_torch_style: bool = True) -> float:
+    """d^2 = |mu1-mu2|^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)) (``fid.py:66-117``)."""
+    diff = mu1 - mu2
+    if use_torch_style:
+        prod = jnp.asarray(sigma1, jnp.float32) @ jnp.asarray(sigma2,
+                                                              jnp.float32)
+        covmean = np.asarray(sqrt_newton_schulz(prod))
+        if not np.isfinite(covmean).all():
+            use_torch_style = False
+    if not use_torch_style:
+        import scipy.linalg
+        covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(sigma1.shape[0]) * eps
+            covmean = scipy.linalg.sqrtm(
+                (sigma1 + offset) @ (sigma2 + offset))
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def inception_score_from_probs(probs: np.ndarray, splits: int = 10
+                               ) -> Tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))) over splits (``inception_score.py``)."""
+    scores = []
+    n = probs.shape[0]
+    for i in range(splits):
+        part = probs[i * n // splits:(i + 1) * n // splits]
+        kl = part * (np.log(part + 1e-16)
+                     - np.log(np.mean(part, axis=0, keepdims=True) + 1e-16))
+        scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+class FIDEvaluator:
+    """End-to-end ``get_inception_and_fid_score`` (``both.py:14-116``).
+
+    Args:
+      fid_variables: converted InceptionV3-FID weights ({'params',
+        'batch_stats'}); without them features are random and scores
+        meaningless (a warning is attached to results).
+      stats_cache: path to a ``.npz`` with precomputed ``mu``/``sigma``.
+    """
+
+    def __init__(self, fid_variables=None, stats_cache: Optional[str] = None,
+                 batch_size: int = 50):
+        self.model = InceptionV3FID(output_blocks=(3, 4))
+        self.batch_size = batch_size
+        self._have_weights = fid_variables is not None
+        if fid_variables is None:
+            rng = jax.random.PRNGKey(0)
+            fid_variables = self.model.init(
+                rng, jnp.zeros((1, 32, 32, 3)))
+        self.variables = fid_variables
+        self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
+        self.ref_stats = None
+        if stats_cache and os.path.exists(stats_cache):
+            d = np.load(stats_cache)
+            self.ref_stats = (d["mu"][:], d["sigma"][:])
+
+    def activations(self, images: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """images: (N, H, W, 3) in [0, 1].  Returns (pool3 acts, probs)."""
+        feats, probs = [], []
+        for s in range(0, len(images), self.batch_size):
+            batch = jnp.asarray(images[s:s + self.batch_size], jnp.float32)
+            f, p = self._apply(self.variables, batch)
+            feats.append(np.asarray(f))
+            probs.append(np.asarray(p))
+        return np.concatenate(feats), np.concatenate(probs)
+
+    def compute(self, images: np.ndarray, splits: int = 10):
+        acts, probs = self.activations(images)
+        is_mean, is_std = inception_score_from_probs(probs, splits)
+        result = {"inception_score": (is_mean, is_std)}
+        if self.ref_stats is not None:
+            mu, sigma = activation_statistics(acts)
+            result["fid"] = frechet_distance(mu, sigma, *self.ref_stats)
+        if not self._have_weights:
+            result["warning"] = ("random InceptionV3 weights - scores are "
+                                 "not comparable; provide the FID .pth")
+        return result
+
+    def save_reference_stats(self, images: np.ndarray, path: str) -> None:
+        acts, _ = self.activations(images)
+        mu, sigma = activation_statistics(acts)
+        np.savez(path, mu=mu, sigma=sigma)
+        self.ref_stats = (mu, sigma)
