@@ -1,0 +1,144 @@
+"""End-to-end smoke tests: each task trains a tiny config on synthetic data,
+mirroring the reference's LightningModule integration tests on random tensors
+(pdearena/tests/test_pdemodel.py)."""
+import numpy as np
+import jax
+import pytest
+
+from unet_design_tpu.tasks import diff_cifar, diff_mnist, pde, wmh
+from unet_design_tpu.utils import config as config_lib
+
+
+def test_config_system_roundtrip(tmp_path):
+    cfg = diff_mnist.Config()
+    cfg2 = config_lib.apply_overrides(cfg, ["train.lr=0.01",
+                                            "model.dwt_encoder=true",
+                                            "data.resolution=16"])
+    assert cfg2.train.lr == 0.01 and cfg2.model.dwt_encoder is True
+    assert cfg.train.lr == 1e-3  # original untouched
+    yaml_path = tmp_path / "c.yaml"
+    yaml_path.write_text("train:\n  lr: 0.5\nmodel:\n  num_channels: 8\n")
+    cfg3 = config_lib.from_yaml(diff_mnist.Config, str(yaml_path))
+    assert cfg3.train.lr == 0.5 and cfg3.model.num_channels == 8
+    with pytest.raises(KeyError):
+        config_lib.apply_overrides(cfg, ["train.nonexistent=1"])
+
+
+def test_diff_mnist_staged_end_to_end(tmp_path):
+    cfg = diff_mnist.Config()
+    cfg.data.resolution = 8
+    cfg.data.batch_size = 8
+    cfg.data.synthetic_size = 32
+    cfg.model.num_channels = 32
+    cfg.model.num_res_blocks = 1
+    cfg.model.dwt_encoder = True
+    cfg.model.multi_res_loss = True
+    cfg.diffusion.N = 4
+    cfg.diffusion.staged_partitioned_time_intervals = True
+    cfg.train.num_iterations_list = [2, 2, 2]
+    cfg.train.freeze_lower_res = True
+    cfg.train.samples_every_iters = 0
+    cfg.train.logdir = str(tmp_path / "mnist")
+    state = diff_mnist.train(cfg)
+    assert int(state.step) == 2
+
+    # sampling at the final stage + superres from 2 -> 8
+    model = diff_mnist.build_model(cfg, 1)
+    vp_kwargs = dict(N=4, multi_res_loss=True)
+    from unet_design_tpu.process.diffusion import VPDiffusion
+    vp = VPDiffusion.create(N=4, multi_res_loss=True)
+    rng = jax.random.PRNGKey(0)
+    imgs = diff_mnist.sample(cfg, model, state.params, vp, rng,
+                             n_levels_used=3, resolution=8, in_channels=1,
+                             n_samples=4)
+    assert imgs.shape == (4, 8, 8, 1)
+    up = diff_mnist.superres_sample(cfg, model, state.params, vp, rng,
+                                    source_res=2, target_res=8,
+                                    n_levels_used=1, in_channels=1,
+                                    n_noise=2)
+    assert up.shape == (2, 8, 8, 1)
+
+
+def test_diff_cifar_staged_end_to_end(tmp_path):
+    cfg = diff_cifar.Config()
+    cfg.data.synthetic_size = 32
+    cfg.data.batch_size = 8
+    cfg.model.ch = 32
+    cfg.model.ch_mult = [1, 2]
+    cfg.model.attn = [1]
+    cfg.model.num_res_blocks = 1
+    cfg.model.dropout = 0.0
+    cfg.model.dwt_encoder = True
+    cfg.model.multi_res_loss = True
+    cfg.diffusion.T = 4
+    cfg.train.num_iterations_list = [2, 2]
+    cfg.train.freeze_lower_res = True
+    cfg.train.warmup = 2
+    cfg.train.logdir = str(tmp_path / "cifar")
+    state = diff_cifar.train(cfg)
+    assert int(state.step) == 2
+    # EMA exists and sampler runs
+    model = diff_cifar.build_model(cfg)
+    from unet_design_tpu.process.diffusion import DDPMSchedule
+    sch = DDPMSchedule.create(T=4)
+    sampler = diff_cifar.make_sampler(cfg, model, sch, 2)
+    rng = jax.random.PRNGKey(0)
+    x_T = jax.random.normal(rng, (2, 32, 32, 3))
+    out = sampler(state.ema_params, rng, x_T)
+    assert out.shape == (2, 32, 32, 3)
+    assert float(np.abs(np.asarray(out)).max()) <= 1.0
+
+
+@pytest.mark.slow
+def test_pde_staged_end_to_end(tmp_path):
+    cfg = pde.Config()
+    cfg.data.task = "synthetic"
+    cfg.data.resolution = 32
+    cfg.data.trajlen = 10
+    cfg.data.n_synthetic = 3
+    cfg.data.batch_size = 2
+    cfg.data.max_num_steps = 2
+    cfg.model.hidden_channels = 8
+    cfg.model.dwt_encoder = True
+    cfg.model.multi_res_loss = True
+    cfg.train.num_epochs_list = [1, 1]
+    cfg.train.freeze_lower_res = True
+    cfg.train.logdir = str(tmp_path / "pde")
+    state = pde.train(cfg)
+    assert state is not None
+
+
+@pytest.mark.slow
+def test_pde_plain_model(tmp_path):
+    cfg = pde.Config()
+    cfg.data.task = "synthetic"
+    cfg.data.resolution = 32
+    cfg.data.trajlen = 8
+    cfg.data.n_synthetic = 2
+    cfg.data.batch_size = 2
+    cfg.data.max_num_steps = 1
+    cfg.model.name = "Unetbase-64"
+    cfg.model.hidden_channels = 8
+    cfg.train.num_epochs_list = [1]
+    cfg.train.warmup_epochs = 1
+    cfg.train.optimizer = "adamw"
+    cfg.train.weight_decay = 1e-5
+    cfg.train.logdir = str(tmp_path / "pde2")
+    state = pde.train(cfg)
+    assert state is not None
+
+
+def test_wmh_end_to_end(tmp_path):
+    cfg = wmh.Config()
+    cfg.data.synthetic = True
+    cfg.data.synthetic_size = 12
+    cfg.data.resolution = 48
+    cfg.data.batch_size = 4
+    cfg.data.augmentation = "manual2"
+    cfg.model.hidden_channels = 4
+    cfg.model.dwt_encoder = True
+    cfg.train.num_epochs_list = [1, 1]
+    cfg.train.freeze_lower_res = True
+    cfg.train.logdir = str(tmp_path / "wmh")
+    best_params, sweep = wmh.train(cfg)
+    assert len(sweep) == 9

@@ -101,6 +101,67 @@ MODEL_REGISTRY: Dict[str, Dict[str, Any]] = {
 }
 
 
+def _cond_funet(hidden=64, modes=16, n_fourier_layers=2, mid_attn=False,
+                use_scale_shift_norm=False):
+    from unet_design_tpu.models.conditioned.modern_unet import CondModernUnet
+    return dict(cls=CondModernUnet,
+                init_args=dict(hidden_channels=hidden, norm=True,
+                               modes1=modes, modes2=modes,
+                               n_fourier_layers=n_fourier_layers,
+                               mid_attn=mid_attn,
+                               use_scale_shift_norm=use_scale_shift_norm))
+
+
+def _cond_registry() -> Dict[str, Dict[str, Any]]:
+    from unet_design_tpu.models.conditioned.modern_unet import CondModernUnet
+    from unet_design_tpu.models.conditioned.resnet import CondPDEResNet
+    return {
+        "FNO-128-16m": dict(cls=CondPDEResNet,
+                            init_args=dict(hidden_channels=128, norm=False,
+                                           num_blocks=(1, 1, 1, 1),
+                                           modes1=16, modes2=16)),
+        "Unetmod-64": dict(cls=CondModernUnet,
+                           init_args=dict(hidden_channels=64, norm=True,
+                                          use_scale_shift_norm=False)),
+        "Unetmod-64-adagn": dict(cls=CondModernUnet,
+                                 init_args=dict(hidden_channels=64, norm=True,
+                                                use_scale_shift_norm=True)),
+        "Unetmodattn-64": dict(cls=CondModernUnet,
+                               init_args=dict(hidden_channels=64, norm=True,
+                                              mid_attn=True,
+                                              use_scale_shift_norm=False)),
+        "Unetmodattn-64-adagn": dict(cls=CondModernUnet,
+                                     init_args=dict(hidden_channels=64,
+                                                    norm=True, mid_attn=True,
+                                                    use_scale_shift_norm=True)),
+        "U-FNet1-16m": _cond_funet(n_fourier_layers=1),
+        "U-FNet2-16m": _cond_funet(n_fourier_layers=2),
+        "U-FNet1-16m-adagn": _cond_funet(n_fourier_layers=1,
+                                         use_scale_shift_norm=True),
+        "U-FNet2-16m-adagn": _cond_funet(n_fourier_layers=2,
+                                         use_scale_shift_norm=True),
+    }
+
+
+COND_MODEL_REGISTRY: Dict[str, Dict[str, Any]] = _cond_registry()
+
+
+def build_cond_model(name: str, n_scalar_components: int,
+                     n_vector_components: int, time_history: int,
+                     time_future: int, activation: str = "gelu",
+                     param_conditioning: Optional[str] = None, **overrides):
+    """Instantiate a conditioned registry model (``COND_MODEL_REGISTRY``,
+    ``pdearena/models/registry.py:353-443``)."""
+    spec = COND_MODEL_REGISTRY[name]
+    kwargs = dict(spec["init_args"])
+    n_fields = n_scalar_components + 2 * n_vector_components
+    kwargs.update(n_output_fields=n_fields, time_future=time_future,
+                  activation=activation,
+                  param_conditioning=param_conditioning)
+    kwargs.update(overrides)
+    return spec["cls"](**kwargs)
+
+
 def build_model(name: str,
                 n_scalar_components: int,
                 n_vector_components: int,

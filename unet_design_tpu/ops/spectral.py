@@ -126,6 +126,53 @@ class SpectralConv3d(nn.Module):
         return y.astype(orig_dtype)
 
 
+class CondSpectralConv2d(nn.Module):
+    """Conditioned 2D Fourier layer (``conditioned/fourier_cond.py:13-80``):
+    a ``FreqLinear`` embedding produces a per-mode complex scaling applied to
+    the truncated spectrum before mode mixing."""
+
+    out_channels: int
+    modes1: int
+    modes2: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        cond_channels = emb.shape[-1]
+        m1, m2 = self.modes1, self.modes2
+        scale = 1.0 / (in_channels * self.out_channels)
+        wshape = (in_channels, self.out_channels, m1, m2, 2)
+        w1 = self.param("weights1",
+                        lambda k, s: scale * jax.random.uniform(k, s), wshape)
+        w2 = self.param("weights2",
+                        lambda k, s: scale * jax.random.uniform(k, s), wshape)
+        # FreqLinear: emb -> (B, m1, m2, 2 complex) per corner
+        fscale = 1.0 / (cond_channels + 4 * m1 * m2)
+        fw = self.param("freq_weights",
+                        lambda k, s: fscale * jax.random.normal(k, s),
+                        (cond_channels, 4 * m1 * m2))
+        fb = self.param("freq_bias", nn.initializers.zeros, (4 * m1 * m2,))
+        h = (emb.astype(jnp.float32) @ fw + fb).reshape(
+            emb.shape[0], m1, m2, 2, 2)
+        emb_c = jax.lax.complex(h[..., 0], h[..., 1])  # (B, m1, m2, 2)
+
+        orig_dtype = x.dtype
+        b, hh, ww, _ = x.shape
+        x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
+        top = jnp.einsum("bxyi,ioxy->bxyo",
+                         x_ft[:, :m1, :m2, :] * emb_c[..., 0][:, :, :, None],
+                         _as_complex(w1))
+        bot = jnp.einsum("bxyi,ioxy->bxyo",
+                         x_ft[:, -m1:, :m2, :] * emb_c[..., 1][:, :, :, None],
+                         _as_complex(w2))
+        out_ft = jnp.zeros((b, hh, ww // 2 + 1, self.out_channels),
+                           jnp.complex64)
+        out_ft = out_ft.at[:, :m1, :m2, :].set(top)
+        out_ft = out_ft.at[:, -m1:, :m2, :].set(bot)
+        y = jnp.fft.irfft2(out_ft, s=(hh, ww), axes=(1, 2))
+        return y.astype(orig_dtype)
+
+
 class SpectralConv2dUno(nn.Module):
     """UNO spectral conv with output-grid resizing and 'forward' FFT norm
     (``twod_uno.py:39-114``).  Input (B, H, W, C) -> (B, dim1, dim2, C_out)."""

@@ -1,0 +1,266 @@
+"""diff_cifar task: staged DDPM on CIFAR-10 with EMA and FID/IS evaluation.
+
+TPU-native re-design of ``diff_cifar/main.py:113-704``: per-stage Adam +
+warmup (``:374-377``), EMA decay 0.9999 masked by the freeze labels
+(``:57-77,429``), grad-clip (``:425``), staged freezing (``:311-371``),
+on-device Haar downsampling of the batch (``:403-419``), multi-resolution
+sampling at every active resolution via one `lax.scan` ancestral sampler per
+resolution (``:455-516``), periodic FID/IS (``:543-557``), checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_design_tpu.data import image as image_data
+from unet_design_tpu.data import loader as loader_lib
+from unet_design_tpu.models.multires_unet import MultiResUNet
+from unet_design_tpu.ops import wavelet
+from unet_design_tpu.process import diffusion
+from unet_design_tpu.train import freezing, schedules, trainer
+from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils.config import parse_cli
+from unet_design_tpu.utils.logging import MetricsLogger, get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    ch: int = 128
+    ch_mult: List[int] = dataclasses.field(default_factory=lambda: [1, 2, 2, 2])
+    attn: List[int] = dataclasses.field(default_factory=lambda: [1])
+    num_res_blocks: int = 2
+    dropout: float = 0.1
+    dwt_encoder: bool = False
+    multi_res_loss: bool = False
+    downsample_type: str = "conv"
+    use_bf16: bool = False
+
+
+@dataclasses.dataclass
+class DiffusionConfig:
+    beta_1: float = 1e-4
+    beta_T: float = 0.02
+    T: int = 1000
+    mean_type: str = "epsilon"
+    var_type: str = "fixedlarge"
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "synthetic"   # cifar10 | synthetic
+    root: str = "./datasets/cifar10"
+    batch_size: int = 128
+    synthetic_size: int = 512
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    num_iterations_list: List[int] = dataclasses.field(
+        default_factory=lambda: [800000])
+    lr: float = 2e-4
+    warmup: int = 5000
+    grad_clip: float = 1.0
+    ema_decay: float = 0.9999
+    freeze_lower_res: bool = False
+    seed: int = 0
+    sample_step: int = 0
+    save_step: int = 0
+    eval_step: int = 0
+    num_eval_images: int = 50000
+    fid_weights: Optional[str] = None
+    fid_stats_cache: Optional[str] = None
+    metrics_every_iters: int = 100
+    logdir: str = "runs/diff_cifar"
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = dataclasses.field(
+        default_factory=DiffusionConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def build_model(cfg: Config) -> MultiResUNet:
+    mc = cfg.model
+    return MultiResUNet(
+        ch=mc.ch, ch_mult=tuple(mc.ch_mult), attn=tuple(mc.attn),
+        num_res_blocks=mc.num_res_blocks, dropout=mc.dropout,
+        dwt_encoder=mc.dwt_encoder, multi_res_loss=mc.multi_res_loss,
+        downsample_type=mc.downsample_type,
+        dtype=jnp.bfloat16 if mc.use_bf16 else jnp.float32)
+
+
+def make_sampler(cfg: Config, model: MultiResUNet, sch: diffusion.DDPMSchedule,
+                 n_levels_used: int):
+    """One jitted full-scan ancestral sampler for a given level count."""
+
+    @jax.jit
+    def sampler(params, rng, x_T):
+        def model_fn(x, t, n):
+            return model.apply({"params": params}, x, t, n_levels_used=n)
+        return diffusion.ddpm_sample(
+            model_fn, sch, rng, x_T, n_levels_used,
+            mean_type=cfg.diffusion.mean_type,
+            var_type=cfg.diffusion.var_type,
+            multi_res_loss=cfg.model.multi_res_loss)
+
+    return sampler
+
+
+def train(cfg: Config):
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    if cfg.data.dataset == "cifar10":
+        data, _ = image_data.load_cifar10(cfg.data.root, train=True)
+    else:
+        data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
+    highest_res = data.shape[1]
+
+    model = build_model(cfg)
+    n_levels = model.n_levels
+    sch = diffusion.DDPMSchedule.create(cfg.diffusion.beta_1,
+                                        cfg.diffusion.beta_T,
+                                        cfg.diffusion.T)
+
+    init_rng, rng = jax.random.split(rng)
+    x_init = jnp.zeros((2, highest_res, highest_res, 3))
+    t_init = jnp.zeros((2,), jnp.int32)
+    params = model.init(init_rng, x_init, t_init)["params"]
+    ema_params = jax.tree_util.tree_map(jnp.copy, params)
+
+    metrics = MetricsLogger(cfg.train.logdir)
+    ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
+    stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
+                                             n_levels)
+    sequ = len(stages) > 1
+    aug_rng = np.random.default_rng(cfg.train.seed)
+    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
+                                          seed=cfg.train.seed)
+    step_count = 0
+    state = None
+
+    for stage in stages:
+        n = stage.n_levels_used
+        cur_res = highest_res // 2 ** stage.n_downsample
+        if cfg.train.freeze_lower_res and sequ:
+            assert sequ
+            labels = freezing.multires_unet_labels(params, n_levels, n)
+        else:
+            labels = freezing.all_train_labels(params)
+        mask = freezing.trainable_mask(labels)
+        # fresh Adam + warmup every stage (main.py:374-377)
+        tx = trainer.make_optimizer(
+            schedules.warmup_lr(cfg.train.lr, cfg.train.warmup),
+            grad_clip=cfg.train.grad_clip, labels=labels)
+        rng, s_rng = jax.random.split(rng)
+        state = trainer.TrainState.create(params, s_rng, tx.init(params))
+        state = state.replace(ema_params=ema_params)
+
+        def loss_fn(p, step_rng, batch, n=n, stage=stage):
+            def model_fn(x, t, nl):
+                return model.apply({"params": p}, x, t, n_levels_used=nl,
+                                   train=True,
+                                   rngs={"dropout": step_rng})
+            return diffusion.ddpm_loss(
+                model_fn, sch, step_rng, batch, n_levels_used=n,
+                n_levels=n_levels, n_downsample=stage.n_downsample,
+                multi_res_loss=cfg.model.multi_res_loss,
+                sequ_train_algo=sequ)
+
+        step_fn = trainer.make_train_step(loss_fn, tx,
+                                          ema_decay=cfg.train.ema_decay,
+                                          trainable_mask=mask, jit=True)
+        samplers = {}
+        log.info("Stage %d/%d: res=%d n_levels_used=%d iters=%d",
+                 stage.index + 1, stage.n_stages, cur_res, n,
+                 stage.num_iterations)
+        for _ in range(stage.num_iterations):
+            (x0,) = next(batches)
+            x0 = image_data.random_horizontal_flip(x0, aug_rng)
+            x0 = jnp.asarray(x0)
+            if sequ and stage.n_downsample:
+                x0 = wavelet.haar_downsample(x0, stage.n_downsample)
+            state, loss, loss_list = step_fn(state, x0)
+            if step_count % cfg.train.metrics_every_iters == 0:
+                m = {"train/loss": float(loss)}
+                for k, l in enumerate(loss_list):
+                    m[f"train/res_{cur_res // 2**(len(loss_list)-1-k)}_loss"] \
+                        = float(l)
+                metrics.log(m, step_count)
+            if (cfg.train.sample_step
+                    and step_count % cfg.train.sample_step == 0):
+                for r in [cur_res // 2 ** i for i in range(n)]:
+                    nl = n - int(math.log2(cur_res // r))
+                    if nl not in samplers:
+                        samplers[nl] = make_sampler(cfg, model, sch, nl)
+                    rng, n_rng, smp_rng = jax.random.split(rng, 3)
+                    x_T = jax.random.normal(n_rng, (25, r, r, 3))
+                    _ = samplers[nl](state.ema_params, smp_rng, x_T)
+            if (cfg.train.save_step and step_count > 0
+                    and step_count % cfg.train.save_step == 0):
+                ckpt.save(step_count, {
+                    "params": state.params, "ema_params": state.ema_params,
+                    "opt_state": state.opt_state})
+            if (cfg.train.eval_step and step_count > 0
+                    and step_count % cfg.train.eval_step == 0):
+                rng, e_rng = jax.random.split(rng)
+                scores = evaluate(cfg, model, state.ema_params, sch, e_rng,
+                                  n_levels_used=n, resolution=cur_res)
+                metrics.log({f"eval/{k}": v for k, v in scores.items()
+                             if np.isscalar(v)}, step_count)
+            step_count += 1
+        params = state.params
+        ema_params = state.ema_params
+
+    ckpt.save(step_count, {"params": params, "ema_params": ema_params})
+    metrics.close()
+    return state
+
+
+def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
+             resolution: int, num_images: Optional[int] = None,
+             batch_size: int = 256):
+    """Generate samples and compute IS (+FID with stats) (``main.py:94-110``)."""
+    from unet_design_tpu.evalx.fid import FIDEvaluator
+    from unet_design_tpu.evalx.inception import load_fid_params
+
+    num_images = num_images or cfg.train.num_eval_images
+    sampler = make_sampler(cfg, model, sch, n_levels_used)
+    images = []
+    for s in range(0, num_images, batch_size):
+        b = min(batch_size, num_images - s)
+        rng, n_rng, s_rng = jax.random.split(rng, 3)
+        x_T = jax.random.normal(n_rng, (b, resolution, resolution, 3))
+        x0 = sampler(params, s_rng, x_T)
+        images.append(np.asarray((x0 + 1.0) / 2.0))
+    images = np.concatenate(images)
+
+    fid_vars = (load_fid_params(cfg.train.fid_weights)
+                if cfg.train.fid_weights else None)
+    evaluator = FIDEvaluator(fid_vars, cfg.train.fid_stats_cache)
+    result = evaluator.compute(images)
+    out = {"IS": result["inception_score"][0],
+           "IS_std": result["inception_score"][1]}
+    if "fid" in result:
+        out["FID"] = result["fid"]
+    return out
+
+
+def main(argv=None):
+    import sys
+    cfg = parse_cli(Config, argv if argv is not None else sys.argv[1:])
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

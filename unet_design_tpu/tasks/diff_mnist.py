@@ -1,0 +1,314 @@
+"""diff_mnist task: staged multi-resolution DDPM on MNIST / MNIST-Triangular /
+CelebA64.
+
+TPU-native re-design of ``diff_mnist/main.py:33-706``: the stage loop runs on
+the host; each (stage, n_levels_used) pair gets one jitted train step
+(freezing via optax labels) and one jitted `lax.scan` sampler.  Target
+downsampling (``main.py:323-336``) is the on-device Haar pyramid; staged
+partitioned time intervals, multi-res loss, per-resolution sampling,
+super-resolution sampling (``main.py:625-672``) and checkpointing are all
+preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_design_tpu.data import image as image_data
+from unet_design_tpu.data import loader as loader_lib
+from unet_design_tpu.data import triangular as tri_data
+from unet_design_tpu.models.openai_unet import (ScoreNetwork, UNetModel,
+                                                WaveletUNetOpenAI)
+from unet_design_tpu.ops import wavelet
+from unet_design_tpu.process import diffusion
+from unet_design_tpu.train import freezing, trainer
+from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils.config import parse_cli
+from unet_design_tpu.utils.logging import MetricsLogger, get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "unet_wavelet"      # unet_wavelet | unet | mlp
+    num_channels: int = 32
+    num_res_blocks: int = 2
+    channel_mult: Optional[List[int]] = None  # default from resolution
+    dropout: float = 0.0
+    dwt_encoder: bool = False
+    multi_res_loss: bool = False
+    avg_pool_down: bool = False
+    use_bf16: bool = False
+
+
+@dataclasses.dataclass
+class DiffusionConfig:
+    beta_min: float = 0.1
+    beta_max: float = 20.0
+    N: int = 30
+    eps: float = 1e-3
+    T: float = 1.0
+    weighted_multi_res_loss: bool = False
+    staged_partitioned_time_intervals: bool = False
+    last_loss_schedule_weight: float = 1.0
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "synthetic"      # mnist | mnist_triangular | celeba | synthetic
+    root: str = "./datasets"
+    resolution: int = 32
+    batch_size: int = 128
+    to_square_preprocess: bool = False
+    synthetic_size: int = 512
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    num_iterations_list: List[int] = dataclasses.field(
+        default_factory=lambda: [1000])
+    lr: float = 1e-3
+    grad_clip: Optional[float] = None
+    freeze_lower_res: bool = False
+    seed: int = 0
+    samples_every_iters: int = 0     # 0 disables periodic sampling
+    n_samples: int = 25
+    metrics_every_iters: int = 100
+    save_every_iters: int = 0
+    do_superres: bool = False
+    logdir: str = "runs/diff_mnist"
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = dataclasses.field(
+        default_factory=DiffusionConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def default_channel_mult(image_size: int) -> Tuple[int, ...]:
+    """``get_unet_wavelet`` size->mult table (``mnist_diff/unet.py:22-42``)."""
+    table = {256: (1, 1, 2, 2, 4, 4), 64: (2, 2, 2, 2), 32: (2, 2, 2, 2),
+             28: (1, 2, 2), 16: (1, 2, 2, 2), 8: (1, 2, 2), 4: (1, 1, 1),
+             2: (1, 2), 1: (1,)}
+    if image_size not in table:
+        raise ValueError(f"unsupported image size: {image_size}")
+    return table[image_size]
+
+
+def build_model(cfg: Config, in_channels: int):
+    mc = cfg.model
+    dtype = jnp.bfloat16 if mc.use_bf16 else jnp.float32
+    mult = tuple(mc.channel_mult or
+                 default_channel_mult(cfg.data.resolution))
+    if mc.name == "unet_wavelet":
+        return WaveletUNetOpenAI(
+            in_channels=in_channels, model_channels=mc.num_channels,
+            out_channels=in_channels, num_res_blocks=mc.num_res_blocks,
+            dropout=mc.dropout, channel_mult=mult,
+            conv_resample=not mc.avg_pool_down, dwt_encoder=mc.dwt_encoder,
+            multi_res_loss=mc.multi_res_loss, use_scale_shift_norm=True,
+            dtype=dtype)
+    if mc.name == "unet":
+        return UNetModel(in_channels=in_channels,
+                         model_channels=mc.num_channels,
+                         out_channels=in_channels,
+                         num_res_blocks=mc.num_res_blocks,
+                         channel_mult=mult, dtype=dtype)
+    if mc.name == "mlp":
+        return ScoreNetwork(x_dim=cfg.data.resolution ** 2 * in_channels)
+    raise ValueError(mc.name)
+
+
+def load_dataset(cfg: DataConfig) -> np.ndarray:
+    if cfg.dataset == "mnist":
+        x, _ = image_data.load_mnist(cfg.root, train=True)
+    elif cfg.dataset == "mnist_triangular":
+        raw, _ = image_data.load_mnist(cfg.root, train=True, pad_to_32=False)
+        imgs = ((raw[..., 0] + 1.0) / 2.0 * 255).astype(np.uint8)
+        x = tri_data.make_triangular_dataset(
+            imgs, to_square_preprocess=cfg.to_square_preprocess)
+        x = x * 2.0 - 1.0
+    elif cfg.dataset == "celeba":
+        x = image_data.load_celeba64(cfg.root)
+    elif cfg.dataset == "synthetic":
+        x, _ = image_data.synthetic_mnist(cfg.synthetic_size,
+                                          size=cfg.resolution)
+    else:
+        raise ValueError(cfg.dataset)
+    assert x.shape[1] == cfg.resolution, (x.shape, cfg.resolution)
+    return x
+
+
+def train(cfg: Config):
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    data = load_dataset(cfg.data)
+    in_channels = data.shape[-1]
+    model = build_model(cfg, in_channels)
+    is_wavelet = cfg.model.name == "unet_wavelet"
+    n_levels = model.n_levels if is_wavelet else 1
+
+    vp = diffusion.VPDiffusion.create(
+        beta_min=cfg.diffusion.beta_min, beta_max=cfg.diffusion.beta_max,
+        N=cfg.diffusion.N, eps=cfg.diffusion.eps, T=cfg.diffusion.T,
+        multi_res_loss=cfg.model.multi_res_loss,
+        weighted_multi_res_loss=cfg.diffusion.weighted_multi_res_loss)
+
+    x_init = jnp.zeros((2, cfg.data.resolution, cfg.data.resolution,
+                        in_channels))
+    t_init = jnp.zeros((2,))
+    init_rng, rng = jax.random.split(rng)
+    if is_wavelet:
+        variables = model.init(init_rng, x_init, t_init)
+    else:
+        variables = model.init(init_rng, x_init, t_init)
+    params = variables["params"]
+
+    metrics = MetricsLogger(cfg.train.logdir)
+    ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
+    stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
+                                             n_levels)
+    sequ = len(stages) > 1
+    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
+                                          seed=cfg.train.seed)
+    state = None
+    train_iter = 0
+
+    for stage in stages:
+        n = stage.n_levels_used if is_wavelet else 1
+        if cfg.train.freeze_lower_res and is_wavelet and sequ:
+            labels = freezing.openai_wavelet_labels(params, n_levels, n)
+        else:
+            labels = freezing.all_train_labels(params)
+        tx = trainer.make_optimizer(cfg.train.lr,
+                                    grad_clip=cfg.train.grad_clip,
+                                    labels=labels)
+        opt_state = tx.init(params)
+        rng, state_rng = jax.random.split(rng)
+        state = trainer.TrainState.create(params, state_rng, opt_state,
+                                          ema=False)
+
+        stage_kw = dict(stage=stage.index, n_stages=stage.n_stages) \
+            if cfg.diffusion.staged_partitioned_time_intervals and sequ \
+            else {}
+
+        def loss_fn(p, step_rng, batch, n=n, stage=stage, stage_kw=stage_kw):
+            t_rng, x_rng = jax.random.split(step_rng)
+            t = vp.sample_t(t_rng, batch.shape[0], **stage_kw)
+            x_t, noise = vp.sample_x(x_rng, batch, t)
+            # the model receives the raw timestep index (main.py:372)
+            t_cont = t.astype(jnp.float32)
+
+            if is_wavelet:
+                out = model.apply({"params": p}, x_t, t_cont,
+                                  n_levels_used=n)
+            else:
+                out = model.apply({"params": p}, x_t, t_cont)
+            if cfg.model.multi_res_loss:
+                targets = wavelet.multires_targets(
+                    noise, n_levels, stage.n_downsample if sequ else 0)
+                targets = targets[-len(out):]
+                loss, loss_list = vp.loss(
+                    out, targets, cfg.diffusion.last_loss_schedule_weight)
+            else:
+                loss, loss_list = vp.loss(out, noise)
+            return loss, loss_list
+
+        step_fn = trainer.make_train_step(loss_fn, tx, jit=True)
+
+        log.info("Stage %d/%d: n_levels_used=%d, n_downsample=%d, iters=%d",
+                 stage.index + 1, stage.n_stages, n, stage.n_downsample,
+                 stage.num_iterations)
+        for _ in range(stage.num_iterations):
+            (batch_np,) = next(batches)
+            batch = jnp.asarray(batch_np)
+            if sequ and stage.n_downsample > 0:
+                batch = wavelet.haar_downsample(batch, stage.n_downsample)
+            state, loss, loss_list = step_fn(state, batch)
+            if train_iter % cfg.train.metrics_every_iters == 0:
+                m = {"train/loss": float(loss)}
+                res = cfg.data.resolution // 2 ** stage.n_downsample
+                for k, l in enumerate(loss_list):
+                    m[f"train/res_{res // 2 ** (len(loss_list)-1-k)}_loss"] \
+                        = float(l)
+                metrics.log(m, train_iter)
+            if (cfg.train.samples_every_iters
+                    and train_iter % cfg.train.samples_every_iters == 0):
+                rng, s_rng = jax.random.split(rng)
+                sample(cfg, model, state.params, vp, s_rng, n,
+                       cfg.data.resolution // 2 ** stage.n_downsample,
+                       in_channels)
+            if (cfg.train.save_every_iters
+                    and train_iter % cfg.train.save_every_iters == 0
+                    and train_iter > 0):
+                ckpt.save(train_iter, {"params": state.params,
+                                       "opt_state": state.opt_state})
+            train_iter += 1
+        params = state.params
+
+    ckpt.save(train_iter, {"params": params})
+    metrics.close()
+    return state
+
+
+def sample(cfg: Config, model, params, vp: diffusion.VPDiffusion,
+           rng: jax.Array, n_levels_used: int, resolution: int,
+           in_channels: int, n_samples: Optional[int] = None):
+    """Reverse-diffusion sampling at one resolution (``main.py:480-554``)."""
+    n_samples = n_samples or cfg.train.n_samples
+    noise_rng, scan_rng = jax.random.split(rng)
+    x_T = jax.random.normal(noise_rng, (n_samples, resolution, resolution,
+                                        in_channels))
+
+    def model_fn(x, t, n):
+        if cfg.model.name == "unet_wavelet":
+            return model.apply({"params": params}, x, t, n_levels_used=n)
+        return model.apply({"params": params}, x, t)
+
+    x, x_mean = vp.reverse_sample(model_fn, scan_rng, x_T,
+                                  n_levels_used=n_levels_used)
+    return np.asarray(x_mean)
+
+
+def superres_sample(cfg: Config, model, params, vp: diffusion.VPDiffusion,
+                    rng: jax.Array, source_res: int, target_res: int,
+                    n_levels_used: int, in_channels: int,
+                    n_noise: int = 10):
+    """Super-resolution sampling (``main.py:625-672``): sample noise at the
+    source resolution, nearest-upsample it to the target resolution, and run
+    the reverse process with ``n_levels_used + log2(target/source)`` decoder
+    levels."""
+    extra = int(math.log2(target_res // source_res))
+    noise_rng, scan_rng = jax.random.split(rng)
+    x_T = jax.random.normal(noise_rng, (n_noise, source_res, source_res,
+                                        in_channels))
+    x_T_up = x_T
+    for _ in range(extra):
+        x_T_up = jnp.repeat(jnp.repeat(x_T_up, 2, axis=1), 2, axis=2)
+
+    def model_fn(x, t, n):
+        return model.apply({"params": params}, x, t, n_levels_used=n)
+
+    _, x_mean = vp.reverse_sample(model_fn, scan_rng, x_T_up,
+                                  n_levels_used=n_levels_used + extra)
+    return np.asarray(x_mean)
+
+
+def main(argv=None):
+    import sys
+    cfg = parse_cli(Config, argv if argv is not None else sys.argv[1:])
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""pdearena task: PDE surrogate training (Navier-Stokes 2D / Shallow water 2D).
+
+TPU-native re-design of ``pdearena/models/pdemodel.py`` + ``scripts/train.py``:
+epoch-staged sequential training (``find_cur_stage``, ``:182-192``), freezing
+(``:194-220``), DWT downsampling of x and multi-res y (``dwt_downsample``,
+``:141-180``), one-step train/validation and `lax.scan` rollout validation
+(``:317-375``), bootstrap epoch aggregation, Adam (``:509-511``) with optional
+LinearWarmupCosine (the README recipe uses AdamW 2e-4 / wd 1e-5 / 5-50 epoch
+warmup-cosine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_design_tpu.data import loader as loader_lib
+from unet_design_tpu.data import pde as pde_data
+from unet_design_tpu.evalx import metrics as eval_metrics
+from unet_design_tpu.models import registry
+from unet_design_tpu.process import losses as losses_lib
+from unet_design_tpu.process import rollout as rollout_lib
+from unet_design_tpu.ops import wavelet
+from unet_design_tpu.train import freezing, schedules, trainer
+from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils.config import parse_cli
+from unet_design_tpu.utils.logging import MetricsLogger, get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "Unetbase-64_G"
+    hidden_channels: int = 64
+    activation: str = "gelu"
+    dwt_encoder: bool = False
+    up_fct: str = "interpolate_nearest"
+    n_extra_resnet_layers: int = 0
+    multi_res_loss: bool = False
+    no_skip_connection: bool = False
+    no_down_up: bool = False
+    use_bf16: bool = False
+
+
+@dataclasses.dataclass
+class DataConfig:
+    task: str = "synthetic"          # navierstokes2d | shallowwater2d | synthetic
+    data_path: str = "./datasets/ns2d"
+    n_scalar_components: int = 1
+    n_vector_components: int = 1
+    trajlen: int = 14
+    resolution: int = 128
+    time_history: int = 4
+    time_future: int = 1
+    time_gap: int = 0
+    max_num_steps: int = 5
+    batch_size: int = 8
+    limit_trajectories: Optional[int] = None
+    n_synthetic: int = 8
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    num_epochs_list: List[int] = dataclasses.field(
+        default_factory=lambda: [50])
+    lr: float = 2e-4
+    optimizer: str = "adam"          # adam | adamw
+    weight_decay: float = 0.0
+    criterion: str = "mse"           # mse | scaledl2
+    warmup_epochs: int = 0           # >0 enables LinearWarmupCosine
+    freeze_lower_res: bool = False
+    seed: int = 0
+    val_every_epochs: int = 1
+    logdir: str = "runs/pde"
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def pde_config(cfg: DataConfig) -> pde_data.PDEDataConfig:
+    return pde_data.PDEDataConfig(cfg.n_scalar_components,
+                                  cfg.n_vector_components, cfg.trajlen, 2)
+
+
+def build_model(cfg: Config):
+    mc = cfg.model
+    overrides = dict(hidden_channels=mc.hidden_channels,
+                     dtype=jnp.bfloat16 if mc.use_bf16 else jnp.float32)
+    if mc.name == "Unetbase-64_G":
+        overrides.update(dwt_encoder=mc.dwt_encoder, up_fct=mc.up_fct,
+                         n_extra_resnet_layers=mc.n_extra_resnet_layers,
+                         multi_res_loss=mc.multi_res_loss,
+                         sequ_mode=True,
+                         no_skip_connection=mc.no_skip_connection,
+                         no_down_up=mc.no_down_up)
+    return registry.build_model(
+        mc.name, cfg.data.n_scalar_components, cfg.data.n_vector_components,
+        cfg.data.time_history, cfg.data.time_future, mc.activation,
+        **overrides)
+
+
+def open_trajectories(cfg: DataConfig, mode: str):
+    if cfg.task == "navierstokes2d":
+        files = pde_data.NavierStokesOpener.list_files(cfg.data_path, mode)
+        files = loader_lib.shard_for_process(files)
+        return pde_data.NavierStokesOpener(files, mode,
+                                           cfg.limit_trajectories)
+    if cfg.task == "shallowwater2d":
+        files = pde_data.ShallowWaterOpener.list_files(cfg.data_path, mode)
+        files = loader_lib.shard_for_process(files)
+        return pde_data.ShallowWaterOpener(files, mode,
+                                           cfg.limit_trajectories)
+    if cfg.task == "synthetic":
+        return pde_data.synthetic_trajectories(cfg.n_synthetic,
+                                               pde_config(cfg),
+                                               res=cfg.resolution)
+    raise ValueError(cfg.task)
+
+
+def find_cur_stage(num_epochs_list: List[int], epoch: int) -> int:
+    """``PDEModel.find_cur_stage`` (``pdemodel.py:182-192``)."""
+    cum = np.cumsum(num_epochs_list).tolist()
+    cum = [0] + cum[:-1]
+    stage = len(num_epochs_list) - 1
+    for c in reversed(cum):
+        if epoch >= c:
+            break
+        stage -= 1
+    return int(stage)
+
+
+def is_g_model(name: str) -> bool:
+    return name.endswith("_G")
+
+
+def train(cfg: Config):
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    pde = pde_config(cfg.data)
+    model = build_model(cfg)
+    g_model = is_g_model(cfg.model.name)
+    n_levels = getattr(model, "n_levels", None)
+    sequ = len(cfg.train.num_epochs_list) > 1
+    n_epochs_total = sum(cfg.train.num_epochs_list)
+    criterion = losses_lib.CRITERIA[cfg.train.criterion]
+
+    th, tf, tg = (cfg.data.time_history, cfg.data.time_future,
+                  cfg.data.time_gap)
+    x_init = jnp.zeros((1, th, cfg.data.resolution, cfg.data.resolution,
+                        pde.n_scalar_components + 2 * pde.n_vector_components))
+    init_rng, rng = jax.random.split(rng)
+    variables = model.init(init_rng, x_init)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+
+    metrics_logger = MetricsLogger(cfg.train.logdir)
+    ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
+    best_val = np.inf
+    prev_stage = -1
+    step_fn = None
+    eval_fn = None
+    step = 0
+
+    lr = cfg.train.lr
+    if cfg.train.warmup_epochs > 0:
+        lr = schedules.linear_warmup_cosine_annealing(
+            cfg.train.lr, cfg.train.warmup_epochs, n_epochs_total)
+
+    for epoch in range(n_epochs_total):
+        stage = find_cur_stage(cfg.train.num_epochs_list, epoch) if sequ \
+            else len(cfg.train.num_epochs_list) - 1
+        n_downsample = (len(cfg.train.num_epochs_list) - (stage + 1)
+                        if sequ else 0)
+        n_levels_used = ((stage + 1) if sequ else n_levels) if g_model \
+            else None
+
+        if stage != prev_stage:
+            if (cfg.train.freeze_lower_res and sequ and g_model
+                    and stage != 0):
+                labels = freezing.unetbase_g_labels(params, n_levels,
+                                                    n_levels_used)
+            else:
+                labels = freezing.all_train_labels(params)
+            tx = trainer.make_optimizer(lr, labels=labels,
+                                        optimizer=cfg.train.optimizer,
+                                        weight_decay=cfg.train.weight_decay)
+            rng, s_rng = jax.random.split(rng)
+            state = trainer.TrainState.create(
+                params, s_rng, tx.init(params), ema=False,
+                model_state=model_state or None)
+
+            def loss_fn(p, step_rng, batch, n=n_levels_used,
+                        nd=n_downsample):
+                x, y = batch
+                if sequ and nd > 0:
+                    x = wavelet.haar_downsample_traj(x, nd)
+                if g_model:
+                    pred = model.apply({"params": p}, x, n_levels_used=n)
+                else:
+                    pred = model.apply({"params": p, **model_state}, x)
+                if cfg.model.multi_res_loss and g_model:
+                    ys = wavelet.multires_targets_traj(y, n_levels, nd)
+                    ys = ys[-len(pred):]
+                    loss = losses_lib.multires_sum(criterion, pred, ys)
+                    pred_f, y_f = pred[-1], ys[-1]
+                else:
+                    if sequ and nd > 0:
+                        y = wavelet.haar_downsample_traj(y, nd)
+                    loss = criterion(pred, y)
+                    pred_f, y_f = pred, y
+                scalar_loss = criterion(
+                    pred_f[..., :pde.n_scalar_components],
+                    y_f[..., :pde.n_scalar_components])
+                return loss, {"scalar_loss": scalar_loss}
+
+            step_fn = trainer.make_train_step(loss_fn, tx, jit=True)
+
+            @jax.jit
+            def eval_fn(p, batch, n=n_levels_used, nd=n_downsample):
+                x, y = batch
+                if sequ and nd > 0:
+                    x = wavelet.haar_downsample_traj(x, nd)
+                    y = wavelet.haar_downsample_traj(y, nd)
+                if g_model:
+                    pred = model.apply({"params": p}, x, n_levels_used=n)
+                    if cfg.model.multi_res_loss:
+                        pred = pred[-1]
+                else:
+                    pred = model.apply({"params": p, **model_state}, x)
+                return {"mse": losses_lib.custom_mse_loss(pred, y),
+                        "scaledl2": losses_lib.scaledlp_loss(pred, y)}
+
+            prev_stage = stage
+            log.info("Stage %d (epoch %d): n_levels_used=%s n_downsample=%d",
+                     stage, epoch, n_levels_used, n_downsample)
+
+        # ---- train epoch
+        opener = open_trajectories(cfg.data, "train")
+        windows = pde_data.randomized_train_windows(
+            opener, pde, th, tf, tg, seed=cfg.train.seed + epoch, cycles=1)
+        epoch_losses = []
+        for bx, by in pde_data.batched_windows(windows, cfg.data.batch_size):
+            state, loss, aux = step_fn(state, (jnp.asarray(bx),
+                                               jnp.asarray(by)))
+            epoch_losses.append(float(loss))
+            step += 1
+        if epoch_losses:
+            mean, std = eval_metrics.bootstrap(np.asarray(epoch_losses))
+            metrics_logger.log({"train/loss_mean": mean,
+                                "train/loss_std": std,
+                                "epoch": epoch}, step)
+        params = state.params
+
+        # ---- validation (one-step + rollout)
+        if (epoch + 1) % cfg.train.val_every_epochs == 0:
+            val = validate(cfg, model, params, model_state, pde,
+                           n_levels_used, n_downsample if sequ else 0,
+                           eval_fn)
+            metrics_logger.log(val, step)
+            if val.get("valid/unrolled_loss_mean", np.inf) < best_val:
+                best_val = val["valid/unrolled_loss_mean"]
+                ckpt.save(step, {"params": params},
+                          extra={"epoch": epoch, "best_val": best_val})
+
+    metrics_logger.close()
+    return state
+
+
+def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
+             n_downsample, eval_fn):
+    th, tf, tg = (cfg.data.time_history, cfg.data.time_future,
+                  cfg.data.time_gap)
+    # one-step
+    opener = open_trajectories(cfg.data, "valid")
+    one_step = {}
+    count = 0
+    for bx, by in pde_data.batched_windows(
+            pde_data.eval_timestep_windows(opener, pde, th, tf, tg),
+            cfg.data.batch_size):
+        out = eval_fn(params, (jnp.asarray(bx), jnp.asarray(by)))
+        for k, v in out.items():
+            one_step[k] = one_step.get(k, 0.0) + float(v)
+        count += 1
+    result = {f"valid/loss/{k}": v / max(count, 1)
+              for k, v in one_step.items()}
+
+    # rollout
+    g_model = is_g_model(cfg.model.name)
+
+    def model_fn(window):
+        if g_model:
+            pred = model.apply({"params": params}, window,
+                               n_levels_used=n_levels_used)
+            return pred[-1] if cfg.model.multi_res_loss else pred
+        return model.apply({"params": params, **model_state}, window)
+
+    rollout_jit = jax.jit(lambda u, v: rollout_lib.rollout2d(
+        model_fn, u, v, th, cfg.data.max_num_steps))
+
+    unrolled = []
+    opener = open_trajectories(cfg.data, "valid")
+    for (u, v, cond) in pde_data.rollout_eval_trajectories(opener):
+        u = jnp.asarray(u)[None]
+        v = jnp.asarray(v)[None] if v is not None else None
+        if n_downsample:
+            u = wavelet.haar_downsample_traj(u, n_downsample)
+            v = (wavelet.haar_downsample_traj(v, n_downsample)
+                 if v is not None else None)
+        max_start = (pde.trajlen - th - tf * cfg.data.max_num_steps - tg)
+        losses_t = []
+        for start in range(0, max_start + 1, tf + tg):
+            init_u = u[:, start:start + th]
+            init_v = v[:, start:start + th] if v is not None else None
+            pred = rollout_jit(init_u, init_v)
+            t0 = start + th + tg
+            t1 = t0 + tf * cfg.data.max_num_steps
+            target = (jnp.concatenate([u[:, t0:t1], v[:, t0:t1]], axis=-1)
+                      if v is not None else u[:, t0:t1])
+            losses_t.append(eval_metrics.rollout_mse_per_step(pred, target))
+        if losses_t:
+            unrolled.append(float(jnp.sum(jnp.mean(jnp.stack(losses_t),
+                                                   axis=0))))
+    if unrolled:
+        mean, std = eval_metrics.bootstrap(np.asarray(unrolled))
+        result["valid/unrolled_loss_mean"] = mean
+        result["valid/unrolled_loss_std"] = std
+    return result
+
+
+def main(argv=None):
+    import sys
+    cfg = parse_cli(Config, argv if argv is not None else sys.argv[1:])
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

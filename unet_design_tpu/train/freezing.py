@@ -104,6 +104,40 @@ def unetbase_g_labels(params: Dict[str, Any], n_levels: int,
     return label_tree(params, lab)
 
 
+def openai_wavelet_labels(params: Dict[str, Any], n_levels: int,
+                          n_levels_used: int) -> Dict[str, Any]:
+    """diff_mnist freeze rules (``diff_mnist/main.py:248-308``) for the
+    WaveletUNetOpenAI param tree.
+
+    Frozen at stage with n levels used (levels >= first_frozen =
+    n_levels-n+1): decoder blocks ``dec_{l}_*``, encoder blocks ``enc_{l}_*``,
+    time embeddings ``time_embed_{l}``; upsamples ``dec_{l}_up`` only for
+    l > first_frozen (the coarsest-level upsample feeding the new finest level
+    stays trainable, main.py:266); step-indexed output heads ``out_act_{p}`` /
+    ``out_reduce_{p}`` for p < n-1; middle for n >= 2.
+    """
+    n = n_levels_used
+    if n <= 1:
+        return label_tree(params, lambda _: TRAIN)
+    first_frozen = n_levels - n + 1
+
+    def lab(name: str) -> str:
+        m = re.match(r"dec_(\d+)_up$", name)
+        if m:
+            return FROZEN if int(m.group(1)) > first_frozen else TRAIN
+        m = re.match(r"(enc|dec|time_embed)_(\d+)", name)
+        if m:
+            return FROZEN if int(m.group(2)) >= first_frozen else TRAIN
+        m = re.match(r"(out_act|out_reduce)_(\d+)", name)
+        if m:
+            return FROZEN if int(m.group(2)) < n - 1 else TRAIN
+        if name.startswith("middle"):
+            return FROZEN
+        return TRAIN
+
+    return label_tree(params, lab)
+
+
 def all_train_labels(params: Dict[str, Any]) -> Dict[str, Any]:
     return label_tree(params, lambda _: TRAIN)
 
