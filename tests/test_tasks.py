@@ -30,6 +30,7 @@ def test_diff_mnist_staged_end_to_end(tmp_path):
     cfg.data.batch_size = 8
     cfg.data.synthetic_size = 32
     cfg.model.num_channels = 32
+    cfg.model.channel_mult = [1, 1, 1]  # uniform: required for truncation
     cfg.model.num_res_blocks = 1
     cfg.model.dwt_encoder = True
     cfg.model.multi_res_loss = True

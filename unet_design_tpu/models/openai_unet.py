@@ -173,6 +173,14 @@ class WaveletUNetOpenAI(nn.Module):
                  return_norms: bool = False):
         n = self.n_levels if n_levels_used == -1 else n_levels_used
         assert 1 <= n <= self.n_levels
+        if n < self.n_levels:
+            # Truncated forwards tile the input to channel_mult[0]*mc and
+            # re-enter the decoder skip path mid-way; this only lines up when
+            # all multipliers are equal — which is exactly the reference's
+            # G-Net configs ("all channels same", mnist_diff/unet.py:22-31).
+            assert len(set(self.channel_mult)) == 1, (
+                "staged truncation requires uniform channel_mult, got "
+                f"{self.channel_mult}")
         mc = self.model_channels
         norms: Optional[Dict] = {} if return_norms else None
 
