@@ -68,3 +68,27 @@ def measure(fn: Callable, args: Sequence[Any], n_iters: int = 20,
     float(repeated(*args))
     total = time.perf_counter() - t0
     return max(total - rt, 0.0) / n_iters
+
+
+def measure_unrolled(fn: Callable, args: Sequence[Any], n_iters: int = 10,
+                     n_warmup: int = 2) -> float:
+    """Like :func:`measure` but with a python-unrolled dependency chain
+    instead of ``lax.scan`` — required for Pallas kernels on tunneled TPU
+    backends where pallas-inside-scan wedges the device."""
+
+    @jax.jit
+    def repeated(*a):
+        eps = jnp.float32(1e-30)
+        prev = jnp.float32(0.0)
+        for _ in range(n_iters):
+            out = fn(a[0] + eps * prev, *a[1:])
+            prev = _scalar_of(out)
+        return prev
+
+    for _ in range(n_warmup):
+        float(repeated(*args))
+    rt = roundtrip_seconds()
+    t0 = time.perf_counter()
+    float(repeated(*args))
+    total = time.perf_counter() - t0
+    return max(total - rt, 0.0) / n_iters
