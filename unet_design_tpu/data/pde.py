@@ -209,6 +209,63 @@ def eval_timestep_windows(opener, pde: PDEDataConfig, time_history: int,
                                 time_gap)
 
 
+def create_time_conditioned_data(n_input_scalar: int, n_input_vector: int,
+                                 scalar_fields, vector_fields,
+                                 start_time: int, end_time: int
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-frame (input, target) pair at (start, end)
+    (``data/utils.py:76-107``)."""
+    parts_in, parts_out = [], []
+    if n_input_scalar > 0:
+        parts_in.append(scalar_fields[start_time:start_time + 1])
+        parts_out.append(scalar_fields[end_time:end_time + 1])
+    if n_input_vector > 0:
+        parts_in.append(vector_fields[start_time:start_time + 1])
+        parts_out.append(vector_fields[end_time:end_time + 1])
+    return (np.concatenate(parts_in, axis=-1)[None],
+            np.concatenate(parts_out, axis=-1)[None])
+
+
+def random_time_conditioned_windows(opener, pde: PDEDataConfig,
+                                    seed: int = 0, reweigh: bool = True,
+                                    cycles: Optional[int] = None):
+    """RandomTimeStepConditionedPDETrainData (``common.py:148-208``):
+    per trajectory, pick (start, end) with end ~ U[1, trajlen) and start
+    reweighted toward long horizons; yields (x, y, delta_t, cond)."""
+    rng = np.random.default_rng(seed)
+    cycles = pde.trajlen if cycles is None else cycles
+    for _ in range(cycles):
+        for (u, v, cond) in opener:
+            end = int(rng.integers(1, pde.trajlen))
+            if reweigh:
+                w = 1.0 / np.arange(1, end + 1)
+                start = int(rng.choice(np.arange(0, end), p=w / w.sum()))
+            else:
+                start = int(rng.integers(0, end))
+            delta_t = end - start
+            x, y = create_time_conditioned_data(
+                pde.n_scalar_components, pde.n_vector_components, u, v,
+                start, end)
+            yield x, y, np.float32(delta_t), cond
+
+
+def timestep_conditioned_eval_windows(opener, pde: PDEDataConfig,
+                                      delta_t: int):
+    """TimestepConditionedPDEEvalData (``common.py:211-248``): all
+    delta_t-strided single-step pairs."""
+    if 2 * delta_t >= pde.trajlen:
+        raise ValueError("delta_t should be less than half the trajlen")
+    for begin in range(pde.trajlen - delta_t):
+        for (u, v, cond) in opener:
+            newu = u[begin::delta_t]
+            newv = v[begin::delta_t] if v is not None else None
+            for start in range(newu.shape[0] - 1):
+                x, y = create_time_conditioned_data(
+                    pde.n_scalar_components, pde.n_vector_components,
+                    newu, newv, start, start + 1)
+                yield x, y, np.float32(delta_t), cond
+
+
 def rollout_eval_trajectories(opener) -> Iterator[Tuple[np.ndarray, ...]]:
     """Full trajectories for rollout validation (second eval dataloader)."""
     for (u, v, cond) in opener:
