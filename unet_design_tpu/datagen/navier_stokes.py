@@ -50,16 +50,23 @@ def _advect(field: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
 
 
 def _project(vx: jnp.ndarray, vy: jnp.ndarray):
-    """Spectral Helmholtz projection onto divergence-free fields."""
+    """Spectral Helmholtz projection onto divergence-free fields.
+
+    The Nyquist row/column is zeroed: the projection is not Hermitian-
+    symmetric there (+pi and -pi alias), so keeping it would reintroduce
+    divergence after taking the real part.
+    """
     nx, ny = vx.shape
     kx = jnp.fft.fftfreq(nx)[:, None] * 2 * jnp.pi
     ky = jnp.fft.fftfreq(ny)[None, :] * 2 * jnp.pi
     k2 = kx ** 2 + ky ** 2
     k2 = jnp.where(k2 == 0, 1.0, k2)
+    mask = ((jnp.arange(nx)[:, None] != nx // 2)
+            & (jnp.arange(ny)[None, :] != ny // 2)).astype(vx.dtype)
     vxh, vyh = jnp.fft.fft2(vx), jnp.fft.fft2(vy)
     div = kx * vxh + ky * vyh
-    vxh = vxh - kx * div / k2
-    vyh = vyh - ky * div / k2
+    vxh = (vxh - kx * div / k2) * mask
+    vyh = (vyh - ky * div / k2) * mask
     return jnp.real(jnp.fft.ifft2(vxh)), jnp.real(jnp.fft.ifft2(vyh))
 
 

@@ -10,7 +10,7 @@ import dataclasses
 from typing import Tuple
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class NavierStokes2D:
     tmin: float = 0.0
     tmax: float = 20.0

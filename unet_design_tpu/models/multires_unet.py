@@ -42,6 +42,7 @@ class MultiResUNet(nn.Module):
     dwt_encoder: bool = False
     multi_res_loss: bool = False
     downsample_type: str = "conv"  # 'conv' | 'avg_pool'
+    use_checkpoint: bool = False   # rematerialize ResBlocks (jax.checkpoint)
     dtype: Dtype = jnp.float32
 
     @property
@@ -50,6 +51,11 @@ class MultiResUNet(nn.Module):
 
     def setup(self):
         assert all(i < self.n_levels for i in self.attn), "attn index out of bound"
+        # The reference's gradient checkpointing (unet/layers.py:120-165,
+        # use_checkpoint flag) becomes XLA rematerialization of each ResBlock.
+        res_block = (nn.remat(blocks.DDPMResBlock, static_argnums=(2,))
+                     if self.use_checkpoint else blocks.DDPMResBlock)
+        self._res_block_cls = res_block
         tdim = self.ch * 4
         self.time_embedding_list = [
             blocks.TimeEmbedding(d_model=self.ch, dim=tdim, dtype=self.dtype,
@@ -74,7 +80,7 @@ class MultiResUNet(nn.Module):
                     level_mods.append(None)
                 else:
                     level_plan.append(("res", out_ch))
-                    level_mods.append(blocks.DDPMResBlock(
+                    level_mods.append(res_block(
                         out_channels=out_ch, dropout=self.dropout,
                         attn=(l in self.attn), dtype=self.dtype,
                         name=f"down_{l}_{i}"))
@@ -97,9 +103,9 @@ class MultiResUNet(nn.Module):
         self._head_channels = head_channels
 
         self.middle = [
-            blocks.DDPMResBlock(out_channels=now_ch, dropout=self.dropout,
+            res_block(out_channels=now_ch, dropout=self.dropout,
                                 attn=True, dtype=self.dtype, name="middle_0"),
-            blocks.DDPMResBlock(out_channels=now_ch, dropout=self.dropout,
+            res_block(out_channels=now_ch, dropout=self.dropout,
                                 attn=False, dtype=self.dtype, name="middle_1"),
         ]
 
@@ -109,7 +115,7 @@ class MultiResUNet(nn.Module):
             level_mods = []
             for j in range(self.num_res_blocks + 1):
                 chs.pop()
-                level_mods.append(blocks.DDPMResBlock(
+                level_mods.append(res_block(
                     out_channels=out_ch, dropout=self.dropout,
                     attn=(l in self.attn), dtype=self.dtype,
                     name=f"up_{l}_{j}"))
@@ -166,14 +172,14 @@ class MultiResUNet(nn.Module):
                 elif kind == "dwt":
                     h = wavelet.dwt_block(h, 1, out_ch)
                 elif kind == "res":
-                    h = mod(h, temb(level), train=train)
+                    h = mod(h, temb(level), train)
                 else:  # 'down'
                     h = mod(h)
                 hs.append(h)
 
         # middle (belongs to the coarsest level, model.py:433-437)
         for mod in self.middle:
-            h = mod(h, temb(self.n_levels - 1), train=train)
+            h = mod(h, temb(self.n_levels - 1), train)
 
         outs: List[jnp.ndarray] = []
         # decoder, coarse-to-fine over the first n levels
@@ -185,7 +191,7 @@ class MultiResUNet(nn.Module):
             for mod in res_mods:
                 h_cat = hs.pop()
                 h = jnp.concatenate([h, h_cat], axis=-1)
-                h = mod(h, temb(level), train=train)
+                h = mod(h, temb(level), train)
             last_level_currently_used = self.n_levels - n
             if level != last_level_currently_used:
                 if self.multi_res_loss:
