@@ -35,6 +35,7 @@ def test_diff_mnist_staged_end_to_end(tmp_path):
     cfg.model.dwt_encoder = True
     cfg.model.multi_res_loss = True
     cfg.diffusion.N = 4
+    cfg.diffusion.beta_max = 2.0  # must be < N (reference constraint)
     cfg.diffusion.staged_partitioned_time_intervals = True
     cfg.train.num_iterations_list = [2, 2, 2]
     cfg.train.freeze_lower_res = True
@@ -45,9 +46,8 @@ def test_diff_mnist_staged_end_to_end(tmp_path):
 
     # sampling at the final stage + superres from 2 -> 8
     model = diff_mnist.build_model(cfg, 1)
-    vp_kwargs = dict(N=4, multi_res_loss=True)
     from unet_design_tpu.process.diffusion import VPDiffusion
-    vp = VPDiffusion.create(N=4, multi_res_loss=True)
+    vp = VPDiffusion.create(N=4, beta_max=2.0, multi_res_loss=True)
     rng = jax.random.PRNGKey(0)
     imgs = diff_mnist.sample(cfg, model, state.params, vp, rng,
                              n_levels_used=3, resolution=8, in_channels=1,

@@ -65,6 +65,26 @@ def load_mnist(root: str, train: bool = True,
     return x, labels.astype(np.int64)
 
 
+def load_emnist(root: str, split: str = "letters", train: bool = True,
+                pad_to_32: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """EMNIST loader (``torch_ddpm/ddpm/data/emnist.py`` counterpart); reads
+    ``emnist-<split>-{train,test}-images-idx3-ubyte[.gz]`` idx files."""
+    prefix = f"emnist-{split}-{'train' if train else 'test'}"
+    for ext in ("", ".gz"):
+        ip = os.path.join(root, f"{prefix}-images-idx3-ubyte{ext}")
+        lp = os.path.join(root, f"{prefix}-labels-idx1-ubyte{ext}")
+        if os.path.exists(ip) and os.path.exists(lp):
+            imgs, labels = _read_idx(ip), _read_idx(lp)
+            # EMNIST idx images are transposed relative to MNIST
+            x = imgs.astype(np.float32).transpose(0, 2, 1) / 255.0
+            x = ((x - 0.5) / 0.5)[..., None]
+            if pad_to_32:
+                x = np.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)),
+                           constant_values=-1.0)
+            return x, labels.astype(np.int64)
+    raise FileNotFoundError(f"No EMNIST files under {root}")
+
+
 def synthetic_mnist(n: int = 256, size: int = 32,
                     seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Digit-free stand-in: random smooth blobs in [-1, 1]."""

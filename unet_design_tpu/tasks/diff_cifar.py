@@ -118,7 +118,24 @@ def make_sampler(cfg: Config, model: MultiResUNet, sch: diffusion.DDPMSchedule,
     return sampler
 
 
+def check_config(cfg: Config) -> None:
+    """Consistency checks (the reference's ``check_hyperparams``,
+    ``diff_mnist/hyperparams.py:99-113``, adapted to this task)."""
+    n_stages = len(cfg.train.num_iterations_list)
+    n_levels = len(cfg.model.ch_mult)
+    assert n_stages >= 1
+    assert n_stages <= n_levels, (
+        f"{n_stages} stages but only {n_levels} levels")
+    # note: unlike the OpenAI-style wavelet U-Net, MultiResUNet's per-level
+    # channel-tiling heads make truncation consistent for non-uniform ch_mult
+    if cfg.train.freeze_lower_res:
+        assert n_stages > 1, "freezing requires the sequential algorithm"
+    assert cfg.diffusion.mean_type in ("xprev", "xstart", "epsilon")
+    assert cfg.diffusion.var_type in ("fixedlarge", "fixedsmall")
+
+
 def train(cfg: Config):
+    check_config(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     if cfg.data.dataset == "cifar10":
         data, _ = image_data.load_cifar10(cfg.data.root, train=True)

@@ -150,7 +150,27 @@ def load_dataset(cfg: DataConfig) -> np.ndarray:
     return x
 
 
+def check_config(cfg: Config) -> None:
+    """Consistency checks (``check_hyperparams``,
+    ``diff_mnist/hyperparams.py:99-113``)."""
+    n_stages = len(cfg.train.num_iterations_list)
+    mult = tuple(cfg.model.channel_mult
+                 or default_channel_mult(cfg.data.resolution))
+    assert n_stages <= len(mult), (n_stages, mult)
+    if n_stages > 1 and cfg.model.name == "unet_wavelet":
+        assert len(set(mult)) == 1, (
+            "staged training requires uniform channel_mult (G-Net configs)")
+    if cfg.train.freeze_lower_res:
+        assert n_stages > 1, "freezing requires the sequential algorithm"
+    if cfg.diffusion.staged_partitioned_time_intervals:
+        assert n_stages > 1
+    # beta_max together with the cumprod requires beta_max < N
+    assert cfg.diffusion.beta_max < cfg.diffusion.N, (
+        "beta_max must be < N or alphas go negative")
+
+
 def train(cfg: Config):
+    check_config(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     data = load_dataset(cfg.data)
     in_channels = data.shape[-1]
