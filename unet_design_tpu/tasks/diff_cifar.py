@@ -79,6 +79,7 @@ class TrainConfig:
     fid_weights: Optional[str] = None
     fid_stats_cache: Optional[str] = None
     metrics_every_iters: int = 100
+    resume: bool = False   # restore latest checkpoint (TRAIN_ID analog)
     logdir: str = "runs/diff_cifar"
 
 
@@ -166,6 +167,16 @@ def train(cfg: Config):
     step_count = 0
     state = None
 
+    # Resume (the reference's wandb TRAIN_ID restore, main.py:115-161):
+    # restore params/EMA and fast-forward the stage loop by step count.
+    resume_step = 0
+    if cfg.train.resume and ckpt.latest_step() is not None:
+        resume_step = ckpt.latest_step()
+        restored = ckpt.restore(resume_step,
+                                {"params": params, "ema_params": ema_params})
+        params, ema_params = restored["params"], restored["ema_params"]
+        log.info("Resumed from checkpoint step %d", resume_step)
+
     for stage in stages:
         n = stage.n_levels_used
         cur_res = highest_res // 2 ** stage.n_downsample
@@ -198,10 +209,16 @@ def train(cfg: Config):
                                           ema_decay=cfg.train.ema_decay,
                                           trainable_mask=mask, jit=True)
         samplers = {}
+        if step_count + stage.num_iterations <= resume_step:
+            step_count += stage.num_iterations   # stage fully completed
+            continue
         log.info("Stage %d/%d: res=%d n_levels_used=%d iters=%d",
                  stage.index + 1, stage.n_stages, cur_res, n,
                  stage.num_iterations)
         for _ in range(stage.num_iterations):
+            if step_count < resume_step:
+                step_count += 1
+                continue
             (x0,) = next(batches)
             x0 = image_data.random_horizontal_flip(x0, aug_rng)
             x0 = jnp.asarray(x0)
