@@ -146,3 +146,16 @@ def test_cond_rollout():
     traj = rollout.cond_rollout2d(model_fn, u, None, dt, None,
                                   time_history=2, num_steps=2)
     assert traj.shape == (2, 2, 4, 4, 1)
+
+
+def test_ddim_sampler_runs():
+    from unet_design_tpu.process import diffusion as diff
+    sch = diff.DDPMSchedule.create(T=20)
+    x_T = jax.random.normal(RNG, (2, 8, 8, 3))
+    out = diff.ddim_sample(_dummy_model(), sch, RNG, x_T, 3, n_steps=5)
+    assert out.shape == x_T.shape
+    assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-6
+    # eta > 0 stochastic variant
+    out2 = diff.ddim_sample(_dummy_model(), sch, RNG, x_T, 3, n_steps=5,
+                            eta=0.5)
+    assert out2.shape == x_T.shape
