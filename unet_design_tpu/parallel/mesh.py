@@ -92,17 +92,15 @@ def tensor_parallel_params(params: Any, mesh: Mesh,
     return jax.tree_util.tree_map(put, params)
 
 
-def data_parallel_jit(step_fn, mesh: Mesh, state_sharded_as_params: bool = True):
-    """Jit a (state, batch) -> (state, ...) step for the mesh: state
-    replicated, batch sharded over 'data'.  Gradient all-reduce is inserted by
-    XLA because the loss reduces over the sharded batch axis."""
-    repl = NamedSharding(mesh, P())
+def data_parallel_step(step_fn, mesh: Mesh):
+    """Wrap a jitted (state, batch, ...) step for data-parallel execution:
+    the batch is placed with its leading axis sharded over 'data' before the
+    call; params/state stay replicated (place them once with
+    :func:`replicate`).  XLA inserts the gradient all-reduce because the loss
+    reduces over the sharded batch axis."""
 
-    def in_shardings(state, batch):
-        return (jax.tree_util.tree_map(lambda _: repl, state),
-                jax.tree_util.tree_map(
-                    lambda x: batch_sharding(mesh, x.ndim), batch))
+    def wrapped(state, batch, *args):
+        batch = shard_batch(batch, mesh)
+        return step_fn(state, batch, *args)
 
-    # jax.jit with shardings given positionally needs static structure; use
-    # device_put on inputs instead and let jit infer.
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return wrapped
