@@ -81,6 +81,7 @@ class TrainConfig:
     seed: int = 0
     samples_every_iters: int = 0     # 0 disables periodic sampling
     n_samples: int = 25
+    u_net_norm_every_iters: int = 0  # 0 disables norm-vs-t figures
     metrics_every_iters: int = 100
     save_every_iters: int = 0
     do_superres: bool = False
@@ -268,6 +269,11 @@ def train(cfg: Config):
                 sample(cfg, model, state.params, vp, s_rng, n,
                        cfg.data.resolution // 2 ** stage.n_downsample,
                        in_channels)
+            if (cfg.train.u_net_norm_every_iters
+                    and cfg.model.name == "unet_wavelet"
+                    and train_iter % cfg.train.u_net_norm_every_iters == 0):
+                fig = unet_norm_figure(cfg, model, state.params, batch, vp, n)
+                metrics.log_figure("u_net_norms", fig, train_iter)
             if (cfg.train.save_every_iters
                     and train_iter % cfg.train.save_every_iters == 0
                     and train_iter > 0):
@@ -298,6 +304,26 @@ def sample(cfg: Config, model, params, vp: diffusion.VPDiffusion,
     x, x_mean = vp.reverse_sample(model_fn, scan_rng, x_T,
                                   n_levels_used=n_levels_used)
     return np.asarray(x_mean)
+
+
+def unet_norm_figure(cfg: Config, model, params, batch: jnp.ndarray,
+                     vp: diffusion.VPDiffusion, n_levels_used: int,
+                     n_t: int = 8):
+    """Per-block activation norms as a function of diffusion time
+    (``diff_mnist/main.py:557-621`` / ``plotting.py:194``)."""
+    from unet_design_tpu.utils import visualization
+    norms_by_t = {}
+    ts = np.linspace(0, vp.N - 1, n_t)
+    for tv in ts:
+        t = jnp.full((batch.shape[0],), float(tv))
+        x_t, _ = vp.sample_x(jax.random.PRNGKey(0), batch,
+                             jnp.full((batch.shape[0],), int(tv),
+                                      jnp.int32))
+        _, norms = model.apply({"params": params}, x_t, t,
+                               n_levels_used=n_levels_used,
+                               return_norms=True)
+        norms_by_t[float(tv)] = jax.tree_util.tree_map(float, norms)
+    return visualization.plot_unet_norms(norms_by_t, ts)
 
 
 def superres_sample(cfg: Config, model, params, vp: diffusion.VPDiffusion,
