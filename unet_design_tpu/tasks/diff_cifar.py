@@ -263,18 +263,30 @@ def train(cfg: Config):
 
 def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
              resolution: int, num_images: Optional[int] = None,
-             batch_size: int = 256):
-    """Generate samples and compute IS (+FID with stats) (``main.py:94-110``)."""
+             batch_size: int = 256, mesh=None):
+    """Generate samples and compute IS (+FID with stats) (``main.py:94-110``).
+
+    With ``mesh`` the sampling batch is sharded over the mesh's 'data' axis
+    (replaces the reference's DataParallel sampler wrap,
+    ``main.py:650-651``); params should already be replicated.
+    """
     from unet_design_tpu.evalx.fid import FIDEvaluator
     from unet_design_tpu.evalx.inception import load_fid_params
 
     num_images = num_images or cfg.train.num_eval_images
     sampler = make_sampler(cfg, model, sch, n_levels_used)
+    if mesh is not None:
+        from unet_design_tpu.parallel import mesh as mesh_lib
+        params = mesh_lib.replicate(params, mesh)
+        batch_size = (batch_size // mesh.shape["data"]) * mesh.shape["data"]
     images = []
     for s in range(0, num_images, batch_size):
         b = min(batch_size, num_images - s)
         rng, n_rng, s_rng = jax.random.split(rng, 3)
         x_T = jax.random.normal(n_rng, (b, resolution, resolution, 3))
+        if mesh is not None and b == batch_size:
+            from unet_design_tpu.parallel import mesh as mesh_lib
+            x_T = mesh_lib.shard_batch(x_T, mesh)
         x0 = sampler(params, s_rng, x_T)
         images.append(np.asarray((x0 + 1.0) / 2.0))
     images = np.concatenate(images)

@@ -198,15 +198,24 @@ def train(cfg: Config):
                 params, s_rng, tx.init(params), ema=False,
                 model_state=model_state or None)
 
-            def loss_fn(p, step_rng, batch, n=n_levels_used,
+            has_mstate = bool(model_state)
+
+            def loss_fn(p, mstate, step_rng, batch, n=n_levels_used,
                         nd=n_downsample):
                 x, y = batch
+                new_mstate = mstate
                 if sequ and nd > 0:
                     x = wavelet.haar_downsample_traj(x, nd)
                 if g_model:
                     pred = model.apply({"params": p}, x, n_levels_used=n)
+                elif has_mstate:
+                    # BatchNorm models (Unet2015): update batch_stats
+                    pred, updates = model.apply(
+                        {"params": p, **mstate}, x, train=True,
+                        mutable=list(mstate.keys()))
+                    new_mstate = updates
                 else:
-                    pred = model.apply({"params": p, **model_state}, x)
+                    pred = model.apply({"params": p}, x)
                 if cfg.model.multi_res_loss and g_model:
                     ys = wavelet.multires_targets_traj(y, n_levels, nd)
                     ys = ys[-len(pred):]
@@ -220,9 +229,10 @@ def train(cfg: Config):
                 scalar_loss = criterion(
                     pred_f[..., :pde.n_scalar_components],
                     y_f[..., :pde.n_scalar_components])
-                return loss, {"scalar_loss": scalar_loss}
+                return loss, ({"scalar_loss": scalar_loss}, new_mstate)
 
-            step_fn = trainer.make_train_step(loss_fn, tx, jit=True)
+            step_fn = trainer.make_train_step(loss_fn, tx,
+                                              has_model_state=True, jit=True)
 
             @jax.jit
             def eval_fn(p, batch, n=n_levels_used, nd=n_downsample):
@@ -259,6 +269,8 @@ def train(cfg: Config):
                                 "train/loss_std": std,
                                 "epoch": epoch}, step)
         params = state.params
+        if state.model_state is not None:
+            model_state = state.model_state  # updated BatchNorm stats
 
         # ---- validation (one-step + rollout)
         if (epoch + 1) % cfg.train.val_every_epochs == 0:
