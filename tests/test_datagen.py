@@ -48,3 +48,87 @@ def test_generate_and_reload_h5(tmp_path):
     stats = ns.compute_normalization([path], "train")
     assert set(stats) == {"u_mean", "u_std", "vx_mean", "vx_std",
                           "vy_mean", "vy_std"}
+
+
+class TestMaxwell:
+    def _pde(self):
+        from unet_design_tpu.datagen.pde_configs import Maxwell3D
+        return Maxwell3D(nx=8, ny=8, nz=8, nt=3, skip_nt=4, sample_rate=2)
+
+    def test_trajectory_shapes_finite_nonzero(self):
+        import jax.numpy as jnp
+        from unet_design_tpu.datagen import maxwell
+        pde = self._pde()
+        srcs = maxwell.sample_sources(np.random.RandomState(0), pde)
+        d, h = maxwell.simulate_trajectory(
+            tuple(jnp.asarray(s) for s in srcs), pde)
+        assert d.shape == (3, 8, 8, 8, 3) and h.shape == (3, 8, 8, 8, 3)
+        assert np.isfinite(np.asarray(d)).all()
+        assert np.abs(np.asarray(d)).max() > 0
+        assert np.abs(np.asarray(h)).max() > 0
+
+    def test_div_h_invariant(self):
+        """The Yee curl structure keeps div(H) = 0 exactly (periodic)."""
+        import jax.numpy as jnp
+        from unet_design_tpu.datagen import maxwell
+        pde = self._pde()
+        masks, polar, periods, phases = (
+            jnp.asarray(s) for s in maxwell.sample_sources(
+                np.random.RandomState(1), pde))
+        n = pde.n_large
+        E = jnp.zeros((n, n, n, 3))
+        H = jnp.zeros((n, n, n, 3))
+        c = maxwell._courant()
+        for t in range(15):
+            vals = jnp.sin(2 * jnp.pi * t / periods + phases)
+            src = jnp.einsum("s,sxyz,sc->xyzc", vals, masks, polar)
+            E = E + c / pde.permittivity * maxwell._curl_H(H) + src
+            H = H - c / pde.permeability * maxwell._curl_E(E)
+        div = sum(jnp.roll(H[..., a], -1, axis=a) - H[..., a]
+                  for a in range(3))
+        scale = max(1.0, float(jnp.abs(H).max()))
+        assert float(jnp.abs(div).max()) < 1e-5 * scale
+
+    def test_generate_h5_schema(self, tmp_path):
+        pytest.importorskip("h5py")
+        import h5py
+        from unet_design_tpu.datagen import maxwell
+        pde = self._pde()
+        path = maxwell.generate_trajectories_maxwell(
+            pde, "valid", num_samples=2, batch_size=2,
+            dirname=str(tmp_path), seed=3)
+        with h5py.File(path, "r") as f:
+            assert f["valid"]["d_field"].shape == (2, 3, 8, 8, 8, 3)
+            assert f["valid"]["h_field"].shape == (2, 3, 8, 8, 8, 3)
+            assert np.isfinite(f["valid"]["d_field"][:]).all()
+
+
+class TestShallowWater:
+    def _pde(self):
+        from unet_design_tpu.datagen.pde_configs import ShallowWaterWeather
+        return ShallowWaterWeather(nt=4, nx=24, ny=48)
+
+    def test_trajectory_stable_and_turbulent(self):
+        from unet_design_tpu.datagen import shallow_water as sw
+        vor, u, v = sw.simulate_trajectory(jax.random.PRNGKey(0),
+                                           self._pde())
+        vor = np.asarray(vor)
+        assert vor.shape == (4, 24, 48)
+        assert np.isfinite(vor).all()
+        # the flow neither dies nor blows up over the trajectory
+        assert 0.2 * vor[0].std() < vor[-1].std() < 5 * vor[0].std()
+
+    def test_generate_npz_opener_roundtrip(self, tmp_path):
+        from unet_design_tpu.datagen import shallow_water as sw
+        from unet_design_tpu.data.pde import ShallowWaterOpener
+        paths = sw.generate_trajectories_shallowwater(
+            self._pde(), "train", num_samples=2, batch_size=2,
+            dirname=str(tmp_path), seed=0)
+        assert len(paths) == 2
+        listed = ShallowWaterOpener.list_files(str(tmp_path), "train")
+        assert [str(p) for p in paths] == listed
+        trajs = list(ShallowWaterOpener(listed, "train"))
+        u, v, cond = trajs[0]
+        assert u.shape == (4, 24, 48, 1) and v.shape == (4, 24, 48, 2)
+        stats = np.load(tmp_path / "normstats.npz")
+        assert stats["vor_std"] > 0

@@ -45,7 +45,7 @@ class NavierStokes2D:
         return "ns2d"
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ShallowWaterWeather:
     """Shallow-water 'weather' config; generation itself requires the Julia
     SpeedyWeather solver (``pdedatagen/shallowwater/datagen.jl``) and is out
@@ -61,15 +61,35 @@ class ShallowWaterWeather:
         return "shallowwater"
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class Maxwell3D:
-    """Maxwell 3D FDTD config (generation needs the ``fdtd`` package,
-    ``pdedatagen/maxwell.py:18``)."""
+    """Maxwell 3D FDTD config (``pdedatagen/pde.py:103-130``); generated
+    on-device by ``unet_design_tpu.datagen.maxwell`` (JAX Yee-grid FDTD)."""
 
-    nt: int = 8
-    nx: int = 32
+    wavelength: float = 1.0e-5
+    sol: float = 299_792_458.0
+    amplitude: float = 1.0
+    permittivity: float = 10.0
+    permeability: float = 1.0
+    L: float = 3.2e-5
+    nx: int = 32          # interior (saved) grid; simulated on 2*nx
     ny: int = 32
     nz: int = 32
+    nt: int = 12
+    skip_nt: int = 250
+    sample_rate: int = 15
+
+    @property
+    def n_large(self) -> int:
+        return 2 * self.nx
+
+    @property
+    def grid_spacing(self) -> float:
+        return self.L / self.n_large
+
+    @property
+    def grid_size(self) -> Tuple[int, int, int, int]:
+        return (self.nt, self.nx, self.ny, self.nz)
 
     def __str__(self):
-        return "maxwell3d"
+        return "Maxwell3D"
