@@ -27,16 +27,16 @@ def bench_model(name: str, n_repeats: int = 10, res: int = 128):
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
 
-    def loss(x):
-        # params closed over; grad w.r.t. x exercises the full backward pass
-        # through every layer exactly like a training step's activations.
+    def loss(x, p):
+        # params passed as an argument (closure constants bloat the compile
+        # payload); grad w.r.t. p exercises the full backward pass.
         def inner(p, x):
             pred = model.apply({"params": p, **rest}, x)
             return jnp.mean((pred - y) ** 2)
-        l, grads = jax.value_and_grad(inner)(params, x)
-        return l, grads
+        l, grads = jax.value_and_grad(inner)(p, x)
+        return grads
 
-    t = benchtime.measure(lambda x: loss(x)[1], (x,), n_iters=n_repeats)
+    t = benchtime.measure(loss, (x, params), n_iters=n_repeats)
     return {"time_s": round(t, 6), "params": common.param_count(params)}
 
 
@@ -45,7 +45,16 @@ def main(argv=None):
     p.add_argument("--models", default=None)
     p.add_argument("--out", default="docs/models_fwd_bwd_time.json")
     p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--isolate", action="store_true",
+                   help="one subprocess per model (a backend failure cannot "
+                        "poison the rest of the sweep)")
+    p.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+
+    if args.one:
+        print("RESULT " + json.dumps(bench_model(args.one, args.repeats)),
+              flush=True)
+        return
 
     from unet_design_tpu.models import registry
     names = (args.models.split(",") if args.models
@@ -53,15 +62,27 @@ def main(argv=None):
     results = {}
     for name in names:
         try:
-            results[name] = bench_model(name, args.repeats)
+            if args.isolate:
+                import subprocess
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--one", name, "--repeats", str(args.repeats)],
+                    capture_output=True, text=True, timeout=1800)
+                line = [ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("RESULT ")]
+                if not line:
+                    raise RuntimeError(
+                        (proc.stderr or proc.stdout).strip()[-200:])
+                results[name] = json.loads(line[-1][len("RESULT "):])
+            else:
+                results[name] = bench_model(name, args.repeats)
             print(name, results[name], flush=True)
         except Exception as e:
             results[name] = {"error": str(e)[:200]}
             print(name, "ERROR", str(e)[:120], file=sys.stderr, flush=True)
-    import os
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -31,10 +31,14 @@ def bench_model(name: str, n_repeats: int = 10, res: int = 128):
     x = jax.random.normal(rng, (8, 4, res, res, 3), jnp.float32)
     variables = model.init(rng, x)
 
-    def fwd(x):
-        return model.apply(variables, x)
+    # Pass variables as an argument, NOT a closure: closed-over params are
+    # embedded as HLO constants, which bloats the compile payload (remote
+    # tunneled compilers reject >100s-of-MB bodies) and forces per-weight
+    # recompilation.
+    def fwd(x, v):
+        return model.apply(v, x)
 
-    t = benchtime.measure(fwd, (x,), n_iters=n_repeats)
+    t = benchtime.measure(fwd, (x, variables), n_iters=n_repeats)
     return {"time_s": round(t, 6),
             "params": common.param_count(variables.get("params", variables))}
 
@@ -44,7 +48,16 @@ def main(argv=None):
     p.add_argument("--models", default=None)
     p.add_argument("--out", default="docs/models_fwd_time.json")
     p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--isolate", action="store_true",
+                   help="run each model in its own subprocess so one backend "
+                        "failure cannot poison the rest of the sweep")
+    p.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+
+    if args.one:  # subprocess worker mode: one model, one JSON line
+        print("RESULT " + json.dumps(bench_model(args.one, args.repeats)),
+              flush=True)
+        return
 
     from unet_design_tpu.models import registry
     names = (args.models.split(",") if args.models
@@ -52,15 +65,27 @@ def main(argv=None):
     results = {}
     for name in names:
         try:
-            results[name] = bench_model(name, args.repeats)
+            if args.isolate:
+                import subprocess
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--one", name, "--repeats", str(args.repeats)],
+                    capture_output=True, text=True, timeout=1800)
+                line = [ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("RESULT ")]
+                if not line:
+                    raise RuntimeError(
+                        (proc.stderr or proc.stdout).strip()[-200:])
+                results[name] = json.loads(line[-1][len("RESULT "):])
+            else:
+                results[name] = bench_model(name, args.repeats)
             print(name, results[name], flush=True)
         except Exception as e:  # keep sweeping
             results[name] = {"error": str(e)[:200]}
             print(name, "ERROR", str(e)[:120], file=sys.stderr, flush=True)
-    import os
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -39,12 +39,14 @@ class Unetbase(nn.Module):
     time_future: int = 1
     hidden_channels: int = 64
     activation: str = "gelu"
+    norm: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.hidden_channels
-        act_kw = dict(activation=self.activation, dtype=self.dtype)
+        act_kw = dict(activation=self.activation, norm=self.norm,
+                      dtype=self.dtype)
         x4 = common.collapse_time(x)
         h = blocks.ConvBlock(c, **act_kw, name="image_proj")(x4)
 

@@ -1,17 +1,23 @@
-"""Spectral (Fourier) convolutions — rfft, truncated complex mode mixing, irfft.
+"""Spectral (Fourier) convolutions — rfft, truncated mode mixing, irfft.
 
 TPU-native port of ``pdearena/pdearena/modules/fourier.py`` (SpectralConv1d/2d/3d)
 and the UNO spectral conv (``pdearena/pdearena/modules/twod_uno.py:39-114``).
-Complex weights are stored as trailing-dim real pairs in fp32; FFTs run in
-fp32/complex64 (TPU FFT precision), and the mode-mixing contraction is an
-einsum that XLA maps onto the MXU as a batched complex matmul.
+
+Complex weights are stored as trailing-dim real pairs in fp32 and the
+mode-mixing contraction is performed as **four real einsums**
+((a+bi)(c+di) = (ac-bd) + (ad+bc)i) rather than a complex einsum.  This is
+deliberate TPU design, not style: real contractions map directly onto the
+MXU, and — critically — no complex array is ever materialized *eagerly*
+(outside a traced graph).  Eager complex64 buffer creation is unimplemented
+on tunneled TPU backends and poisons the process client; complex values here
+only ever exist as traced tensors between ``rfft`` and ``irfft``.
 
 Layout is NHWC: spatial FFT axes are (1, 2) for 2D inputs ``(B, H, W, C)``.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +26,18 @@ from flax import linen as nn
 Dtype = Any
 
 
-def _as_complex(w: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.complex(w[..., 0], w[..., 1])
+def _mode_mix(eq: str, x_ft: jnp.ndarray, w: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex contraction via four real einsums.
+
+    ``x_ft`` is a traced complex spectrum slice; ``w`` is a real-pair weight
+    ``(..., 2)``.  Returns the (real, imag) parts of ``einsum(eq, x_ft, w)``.
+    """
+    xr, xi = jnp.real(x_ft), jnp.imag(x_ft)
+    wr, wi = w[..., 0], w[..., 1]
+    re = jnp.einsum(eq, xr, wr) - jnp.einsum(eq, xi, wi)
+    im = jnp.einsum(eq, xr, wi) + jnp.einsum(eq, xi, wr)
+    return re, im
 
 
 class SpectralConv1d(nn.Module):
@@ -40,12 +56,11 @@ class SpectralConv1d(nn.Module):
             (in_channels, self.out_channels, self.modes, 2))
         orig_dtype = x.dtype
         x_ft = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
-        mixed = jnp.einsum("bxi,iox->bxo", x_ft[:, :self.modes, :],
-                           _as_complex(w))
-        out_ft = jnp.zeros((x.shape[0], x.shape[1] // 2 + 1,
-                            self.out_channels), jnp.complex64)
-        out_ft = out_ft.at[:, :self.modes, :].set(mixed)
-        y = jnp.fft.irfft(out_ft, n=x.shape[1], axis=1)
+        re, im = _mode_mix("bxi,iox->bxo", x_ft[:, :self.modes, :], w)
+        full = (x.shape[0], x.shape[1] // 2 + 1, self.out_channels)
+        re_f = jnp.zeros(full, jnp.float32).at[:, :self.modes, :].set(re)
+        im_f = jnp.zeros(full, jnp.float32).at[:, :self.modes, :].set(im)
+        y = jnp.fft.irfft(jax.lax.complex(re_f, im_f), n=x.shape[1], axis=1)
         return y.astype(orig_dtype)
 
 
@@ -74,17 +89,16 @@ class SpectralConv2d(nn.Module):
             shape)
         orig_dtype = x.dtype
         b, h, w, _ = x.shape
+        m1, m2 = self.modes1, self.modes2
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
-        top = jnp.einsum("bxyi,ioxy->bxyo",
-                         x_ft[:, :self.modes1, :self.modes2, :],
-                         _as_complex(w1))
-        bot = jnp.einsum("bxyi,ioxy->bxyo",
-                         x_ft[:, -self.modes1:, :self.modes2, :],
-                         _as_complex(w2))
-        out_ft = jnp.zeros((b, h, w // 2 + 1, self.out_channels), jnp.complex64)
-        out_ft = out_ft.at[:, :self.modes1, :self.modes2, :].set(top)
-        out_ft = out_ft.at[:, -self.modes1:, :self.modes2, :].set(bot)
-        y = jnp.fft.irfft2(out_ft, s=(h, w), axes=(1, 2))
+        tr, ti = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :], w1)
+        br, bi = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2, :], w2)
+        full = (b, h, w // 2 + 1, self.out_channels)
+        re_f = (jnp.zeros(full, jnp.float32)
+                .at[:, :m1, :m2, :].set(tr).at[:, -m1:, :m2, :].set(br))
+        im_f = (jnp.zeros(full, jnp.float32)
+                .at[:, :m1, :m2, :].set(ti).at[:, -m1:, :m2, :].set(bi))
+        y = jnp.fft.irfft2(jax.lax.complex(re_f, im_f), s=(h, w), axes=(1, 2))
         return y.astype(orig_dtype)
 
 
@@ -110,8 +124,9 @@ class SpectralConv3d(nn.Module):
         b, d, h, w, _ = x.shape
         x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3))
         m1, m2, m3 = self.modes1, self.modes2, self.modes3
-        out_ft = jnp.zeros((b, d, h, w // 2 + 1, self.out_channels),
-                           jnp.complex64)
+        full = (b, d, h, w // 2 + 1, self.out_channels)
+        re_f = jnp.zeros(full, jnp.float32)
+        im_f = jnp.zeros(full, jnp.float32)
         corners = [
             (slice(None, m1), slice(None, m2)),
             (slice(-m1, None), slice(None, m2)),
@@ -119,10 +134,12 @@ class SpectralConv3d(nn.Module):
             (slice(-m1, None), slice(-m2, None)),
         ]
         for wgt, (s1, s2) in zip(ws, corners):
-            mixed = jnp.einsum("bxyzi,ioxyz->bxyzo",
-                               x_ft[:, s1, s2, :m3, :], _as_complex(wgt))
-            out_ft = out_ft.at[:, s1, s2, :m3, :].set(mixed)
-        y = jnp.fft.irfftn(out_ft, s=(d, h, w), axes=(1, 2, 3))
+            re, im = _mode_mix("bxyzi,ioxyz->bxyzo",
+                               x_ft[:, s1, s2, :m3, :], wgt)
+            re_f = re_f.at[:, s1, s2, :m3, :].set(re)
+            im_f = im_f.at[:, s1, s2, :m3, :].set(im)
+        y = jnp.fft.irfftn(jax.lax.complex(re_f, im_f), s=(d, h, w),
+                           axes=(1, 2, 3))
         return y.astype(orig_dtype)
 
 
@@ -154,22 +171,23 @@ class CondSpectralConv2d(nn.Module):
         fb = self.param("freq_bias", nn.initializers.zeros, (4 * m1 * m2,))
         h = (emb.astype(jnp.float32) @ fw + fb).reshape(
             emb.shape[0], m1, m2, 2, 2)
+        # traced complex (from the traced embedding) — never eager
         emb_c = jax.lax.complex(h[..., 0], h[..., 1])  # (B, m1, m2, 2)
 
         orig_dtype = x.dtype
         b, hh, ww, _ = x.shape
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
-        top = jnp.einsum("bxyi,ioxy->bxyo",
-                         x_ft[:, :m1, :m2, :] * emb_c[..., 0][:, :, :, None],
-                         _as_complex(w1))
-        bot = jnp.einsum("bxyi,ioxy->bxyo",
-                         x_ft[:, -m1:, :m2, :] * emb_c[..., 1][:, :, :, None],
-                         _as_complex(w2))
-        out_ft = jnp.zeros((b, hh, ww // 2 + 1, self.out_channels),
-                           jnp.complex64)
-        out_ft = out_ft.at[:, :m1, :m2, :].set(top)
-        out_ft = out_ft.at[:, -m1:, :m2, :].set(bot)
-        y = jnp.fft.irfft2(out_ft, s=(hh, ww), axes=(1, 2))
+        top = x_ft[:, :m1, :m2, :] * emb_c[..., 0][:, :, :, None]
+        bot = x_ft[:, -m1:, :m2, :] * emb_c[..., 1][:, :, :, None]
+        tr, ti = _mode_mix("bxyi,ioxy->bxyo", top, w1)
+        br, bi = _mode_mix("bxyi,ioxy->bxyo", bot, w2)
+        full = (b, hh, ww // 2 + 1, self.out_channels)
+        re_f = (jnp.zeros(full, jnp.float32)
+                .at[:, :m1, :m2, :].set(tr).at[:, -m1:, :m2, :].set(br))
+        im_f = (jnp.zeros(full, jnp.float32)
+                .at[:, :m1, :m2, :].set(ti).at[:, -m1:, :m2, :].set(bi))
+        y = jnp.fft.irfft2(jax.lax.complex(re_f, im_f), s=(hh, ww),
+                           axes=(1, 2))
         return y.astype(orig_dtype)
 
 
@@ -201,15 +219,20 @@ class SpectralConv2dUno(nn.Module):
                         shape)
         orig_dtype = x.dtype
         b, h, w, _ = x.shape
-        x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2),
-                             norm="forward")
-        top = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :],
-                         _as_complex(w1))
-        bot = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2, :],
-                         _as_complex(w2))
-        out_ft = jnp.zeros((b, d1, d2 // 2 + 1, self.out_channels),
-                           jnp.complex64)
-        out_ft = out_ft.at[:, :m1, :m2, :].set(top)
-        out_ft = out_ft.at[:, -m1:, :m2, :].set(bot)
-        y = jnp.fft.irfft2(out_ft, s=(d1, d2), axes=(1, 2), norm="forward")
+        # 'forward'-normalized FFT pair, expressed as real-side rescalings of
+        # the default-normalized transforms: norm="forward" itself multiplies
+        # the complex spectrum by a *complex scalar constant*, which (eagerly,
+        # e.g. under flax init) requires a complex host->device constant
+        # upload — unimplemented on tunneled TPU backends (see module
+        # docstring).  rfft_fwd(x) = rfft(x)/(h*w); irfft_fwd(z) = irfft(z)*N.
+        x_ft = jnp.fft.rfft2(x.astype(jnp.float32) / (h * w), axes=(1, 2))
+        tr, ti = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :], w1)
+        br, bi = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2, :], w2)
+        full = (b, d1, d2 // 2 + 1, self.out_channels)
+        re_f = (jnp.zeros(full, jnp.float32)
+                .at[:, :m1, :m2, :].set(tr).at[:, -m1:, :m2, :].set(br))
+        im_f = (jnp.zeros(full, jnp.float32)
+                .at[:, :m1, :m2, :].set(ti).at[:, -m1:, :m2, :].set(bi))
+        y = jnp.fft.irfft2(jax.lax.complex(re_f, im_f), s=(d1, d2),
+                           axes=(1, 2)) * (d1 * d2)
         return y.astype(orig_dtype)
