@@ -154,3 +154,52 @@ def test_spectral_conv_uno_resizes():
     p = m.init(RNG, x)
     assert m.apply(p, x).shape == (2, 12, 12, 4)
     assert m.apply(p, x, 8, 8).shape == (2, 8, 8, 4)
+
+
+def test_spectral_conv_uno_forward_norm_equivalence():
+    """The real-side rescaling must equal the norm='forward' FFT pair it
+    replaces (the direct form creates eager complex constants, which are
+    unimplemented on tunneled TPU backends — see ops/spectral.py)."""
+    m1, m2, d1, d2, cout = 5, 6, 12, 12, 4
+    m = spectral.SpectralConv2dUno(out_channels=cout, dim1=d1, dim2=d2,
+                                   modes1=m1, modes2=m2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    v = m.init(jax.random.PRNGKey(1), x)
+    got = m.apply(v, x)
+
+    w1 = np.asarray(v["params"]["weights1"], np.float64)
+    w2 = np.asarray(v["params"]["weights2"], np.float64)
+    x_ft = np.fft.rfft2(np.asarray(x, np.float64), axes=(1, 2),
+                        norm="forward")
+    top = np.einsum("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :],
+                    w1[..., 0] + 1j * w1[..., 1])
+    bot = np.einsum("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2, :],
+                    w2[..., 0] + 1j * w2[..., 1])
+    out_ft = np.zeros((2, d1, d2 // 2 + 1, cout), np.complex128)
+    out_ft[:, :m1, :m2, :] = top
+    out_ft[:, -m1:, :m2, :] = bot
+    ref = np.fft.irfft2(out_ft, s=(d1, d2), axes=(1, 2), norm="forward")
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+def test_spectral_convs_lower_without_complex_constants():
+    """No complex constant may appear in the lowered HLO of any spectral
+    conv (complex constants poison tunneled TPU backends); complex may only
+    arise from in-graph ops (fft, complex())."""
+    modules_and_inputs = [
+        (spectral.SpectralConv1d(out_channels=3, modes=4),
+         jnp.ones((2, 16, 5))),
+        (spectral.SpectralConv2d(out_channels=3, modes1=4, modes2=4),
+         jnp.ones((2, 16, 16, 5))),
+        (spectral.SpectralConv2dUno(out_channels=3, dim1=12, dim2=12),
+         jnp.ones((2, 16, 16, 5))),
+        (spectral.CondSpectralConv2d(out_channels=3, modes1=4, modes2=4),
+         (jnp.ones((2, 16, 16, 5)), jnp.ones((2, 7)))),
+    ]
+    for m, x in modules_and_inputs:
+        x = x if isinstance(x, tuple) else (x,)
+        v = m.init(jax.random.PRNGKey(0), *x)
+        hlo = jax.jit(m.apply).lower(v, *x).as_text()
+        for line in hlo.splitlines():
+            if "stablehlo.constant" in line:
+                assert "complex<" not in line, (type(m).__name__, line[:120])

@@ -140,9 +140,9 @@ def validate(cfg: Config, model, params, pde, use_z):
     criterion = losses_lib.CRITERIA[cfg.train.criterion]
 
     @jax.jit
-    def eval_fn(batch):
+    def eval_fn(p, batch):
         x, y, dt, z = batch
-        pred = model.apply({"params": params}, x, dt, z)
+        pred = model.apply({"params": p}, x, dt, z)
         return criterion(pred, y)
 
     opener = open_trajectories(cfg.data, "valid")
@@ -150,18 +150,22 @@ def validate(cfg: Config, model, params, pde, use_z):
         opener, pde, cfg.train.eval_delta_t)
     losses, count = 0.0, 0
     for bx, by, bdt, bz in _batch_cond(windows, cfg.data.batch_size, use_z):
-        losses += float(eval_fn((jnp.asarray(bx), jnp.asarray(by),
+        losses += float(eval_fn(params,
+                                (jnp.asarray(bx), jnp.asarray(by),
                                  jnp.asarray(bdt),
                                  jnp.asarray(bz) if bz is not None else None)))
         count += 1
     result = {"valid/onestep_loss": losses / max(count, 1)}
 
     # conditioned rollout with unit delta_t (cond_rollout2d)
-    def model_fn(window, dt, z):
-        return model.apply({"params": params}, window, dt, z)
+    def rollout_fn(p, u, v, dt, z):
+        def model_fn(window, dt_, z_):
+            return model.apply({"params": p}, window, dt_, z_)
+        return rollout_lib.cond_rollout2d(model_fn, u, v, dt, z, 1,
+                                          cfg.train.max_num_steps)
 
-    rollout_jit = jax.jit(lambda u, v, dt, z: rollout_lib.cond_rollout2d(
-        model_fn, u, v, dt, z, 1, cfg.train.max_num_steps))
+    _rollout_jit = jax.jit(rollout_fn)
+    rollout_jit = lambda u, v, dt, z: _rollout_jit(params, u, v, dt, z)
     unrolled = []
     opener = open_trajectories(cfg.data, "valid")
     for (u, v, cond) in pde_data.rollout_eval_trajectories(opener):

@@ -308,15 +308,20 @@ def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
     # rollout
     g_model = is_g_model(cfg.model.name)
 
-    def model_fn(window):
-        if g_model:
-            pred = model.apply({"params": params}, window,
-                               n_levels_used=n_levels_used)
-            return pred[-1] if cfg.model.multi_res_loss else pred
-        return model.apply({"params": params, **model_state}, window)
+    # params enter the jit as arguments (closure constants bloat the
+    # compile payload past remote-compile limits for >100M-param models)
+    def rollout_fn(p, ms, u, v):
+        def model_fn(window):
+            if g_model:
+                pred = model.apply({"params": p}, window,
+                                   n_levels_used=n_levels_used)
+                return pred[-1] if cfg.model.multi_res_loss else pred
+            return model.apply({"params": p, **ms}, window)
+        return rollout_lib.rollout2d(model_fn, u, v, th,
+                                     cfg.data.max_num_steps)
 
-    rollout_jit = jax.jit(lambda u, v: rollout_lib.rollout2d(
-        model_fn, u, v, th, cfg.data.max_num_steps))
+    _rollout_jit = jax.jit(rollout_fn)
+    rollout_jit = lambda u, v: _rollout_jit(params, model_state, u, v)
 
     unrolled = []
     opener = open_trajectories(cfg.data, "valid")
