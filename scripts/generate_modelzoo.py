@@ -30,23 +30,32 @@ def main():
         "UNO-64": 0.065, "UNO-128": 0.158, "Unet2015-64": 0.013,
         "Unetbase-64": 0.021, "Unetmod-64": 0.079,
     }
+    v100_bwd = {  # fwd+bwd, same source (modelzoo.md:10-48)
+        "DilResNet-128": 0.342, "FNO-128-8m": 0.161, "U-FNet2-16m": 0.200,
+        "Unet2015-64": 0.037, "Unetbase-64": 0.046, "Unetmod-64": 0.186,
+    }
 
     lines = ["# Model Zoo", "",
              "Timings: one TPU v5e chip, bs=8, 4x3x128x128, fp32 "
-             "(`benchmark/fwdbench.py` / `bwdbench.py`).", "",
-             "| Model | Params | fwd time (s) | fwd+bwd time (s) "
-             "| V100 fwd (s) | speedup |",
-             "|---|---|---|---|---|---|"]
+             "(`benchmark/fwdbench.py` / `bwdbench.py`).  V100 columns are "
+             "the reference's published numbers (BASELINE.md).", "",
+             "| Model | Params | fwd (s) | fwd+bwd (s) "
+             "| V100 fwd (s) | fwd speedup | V100 fwd+bwd (s) | bwd speedup |",
+             "|---|---|---|---|---|---|---|---|"]
     for name in sorted(registry.MODEL_REGISTRY):
         f = fwd.get(name, {})
         b = bwd.get(name, {})
         params = f.get("params") or b.get("params") or ""
         pm = f"{params/1e6:.1f}M" if params else "-"
-        ref = v100_fwd.get(name)
-        speed = (f"{ref / f['time_s']:.1f}x"
-                 if ref and isinstance(f.get("time_s"), float) else "-")
+        ref_f = v100_fwd.get(name)
+        ref_b = v100_bwd.get(name)
+        speed_f = (f"{ref_f / f['time_s']:.1f}x"
+                   if ref_f and isinstance(f.get("time_s"), float) else "-")
+        speed_b = (f"{ref_b / b['time_s']:.1f}x"
+                   if ref_b and isinstance(b.get("time_s"), float) else "-")
         lines.append(f"| {name} | {pm} | {f.get('time_s', '-')} | "
-                     f"{b.get('time_s', '-')} | {ref or '-'} | {speed} |")
+                     f"{b.get('time_s', '-')} | {ref_f or '-'} | {speed_f} | "
+                     f"{ref_b or '-'} | {speed_b} |")
     lines += ["", "## Conditioned models", ""]
     for name in sorted(registry.COND_MODEL_REGISTRY):
         lines.append(f"- {name}")
