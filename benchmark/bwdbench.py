@@ -56,33 +56,11 @@ def main(argv=None):
               flush=True)
         return
 
+    from benchmark.common import sweep
     from unet_design_tpu.models import registry
     names = (args.models.split(",") if args.models
              else sorted(registry.MODEL_REGISTRY))
-    results = {}
-    for name in names:
-        try:
-            if args.isolate:
-                import subprocess
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--one", name, "--repeats", str(args.repeats)],
-                    capture_output=True, text=True, timeout=1800)
-                line = [ln for ln in proc.stdout.splitlines()
-                        if ln.startswith("RESULT ")]
-                if not line:
-                    raise RuntimeError(
-                        (proc.stderr or proc.stdout).strip()[-200:])
-                results[name] = json.loads(line[-1][len("RESULT "):])
-            else:
-                results[name] = bench_model(name, args.repeats)
-            print(name, results[name], flush=True)
-        except Exception as e:
-            results[name] = {"error": str(e)[:200]}
-            print(name, "ERROR", str(e)[:120], file=sys.stderr, flush=True)
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+    sweep(names, bench_model, args.out, args.isolate, __file__, args.repeats)
 
 
 if __name__ == "__main__":

@@ -58,11 +58,17 @@ def main(argv=None):
             sized(ShallowWaterWeather), args.mode, args.samples,
             args.batch_size, args.dirname, args.seed)
     else:
+        import dataclasses
         from unet_design_tpu.datagen import maxwell
         from unet_design_tpu.datagen.pde_configs import Maxwell3D
+        over = {}
+        if args.nx is not None:  # cubic grid: --nx sets all three axes
+            over.update(nx=args.nx, ny=args.nx, nz=args.nx)
+        if args.nt is not None:
+            over["nt"] = args.nt
         path = maxwell.generate_trajectories_maxwell(
-            Maxwell3D(), args.mode, args.samples, args.batch_size,
-            args.dirname, args.seed)
+            dataclasses.replace(Maxwell3D(), **over), args.mode,
+            args.samples, args.batch_size, args.dirname, args.seed)
     print("wrote", path)
 
 

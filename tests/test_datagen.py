@@ -132,3 +132,20 @@ class TestShallowWater:
         assert u.shape == (4, 24, 48, 1) and v.shape == (4, 24, 48, 2)
         stats = np.load(tmp_path / "normstats.npz")
         assert stats["vor_std"] > 0
+
+    def test_valid_mode_does_not_clobber_train_normstats(self, tmp_path):
+        from unet_design_tpu.datagen import shallow_water as sw
+        from unet_design_tpu.data.pde import ShallowWaterOpener
+        sw.generate_trajectories_shallowwater(
+            self._pde(), "train", num_samples=1, batch_size=1,
+            dirname=str(tmp_path), seed=0)
+        stats_before = dict(np.load(tmp_path / "normstats.npz"))
+        sw.generate_trajectories_shallowwater(
+            self._pde(), "valid", num_samples=1, batch_size=1,
+            dirname=str(tmp_path), seed=99)
+        stats_after = dict(np.load(tmp_path / "normstats.npz"))
+        assert stats_before["vor_std"] == stats_after["vor_std"]
+        # opener standardizes the vorticity channel with the train stats
+        (u, _, _), = list(ShallowWaterOpener(
+            ShallowWaterOpener.list_files(str(tmp_path), "train"), "train"))
+        assert abs(float(u.std()) - 1.0) < 0.2

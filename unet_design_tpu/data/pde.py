@@ -141,8 +141,14 @@ class ShallowWaterOpener:
                 return
             if path.endswith(".npz"):
                 d = np.load(path)
-                yield (np.asarray(d["u"], np.float32),
-                       np.asarray(d["v"], np.float32), None)
+                u = np.asarray(d["u"], np.float32)
+                normpath = os.path.join(os.path.dirname(path),
+                                        "normstats.npz")
+                if os.path.exists(normpath):
+                    normstat = np.load(normpath)
+                    u = ((u - normstat["vor_mean"])
+                         / normstat["vor_std"])  # zarr-path parity
+                yield u, np.asarray(d["v"], np.float32), None
                 count += 1
                 continue
             try:

@@ -129,6 +129,9 @@ def simulate_trajectory(sources, pde: Maxwell3D):
     ``pde.skip_nt``-step spin-up (``maxwell.py:139-143`` protocol).
     """
     masks, polar, periods, phases = sources
+    assert pde.nx == pde.ny == pde.nz, (
+        "the Yee solver and source sampler assume a cubic grid "
+        f"(reference geometry, pde.py:110-112); got {pde.grid_size[1:]}")
     n = pde.nx
     n_large = pde.n_large
     outer = (n_large - n) // 2

@@ -47,10 +47,11 @@ class NavierStokes2D:
 
 @dataclasses.dataclass(frozen=True)
 class ShallowWaterWeather:
-    """Shallow-water 'weather' config; generation itself requires the Julia
-    SpeedyWeather solver (``pdedatagen/shallowwater/datagen.jl``) and is out
-    of scope here — use the .npz conversion path in
-    ``unet_design_tpu.data.pde.ShallowWaterOpener``."""
+    """Shallow-water 'weather' config (grid shape matches the reference's
+    SpeedyWeather T62 output, ``pdedatagen/shallowwater/datagen.jl``).
+    Generated on-device by ``unet_design_tpu.datagen.shallow_water``
+    (JAX pseudo-spectral solver); pre-existing zarr/SpeedyWeather data is
+    read via ``unet_design_tpu.data.pde.ShallowWaterOpener``."""
 
     nt: int = 88
     nx: int = 96

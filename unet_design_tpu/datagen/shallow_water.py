@@ -16,10 +16,12 @@ hyperviscosity, geostrophically balanced random initial vorticity.  One
 trajectory is a single ``lax.scan`` (frames) over ``fori_loop`` substeps;
 batches of trajectories are ``vmap``-ed.
 
-Output: per-trajectory ``.npz`` with ``u`` = standardized vorticity
+Output: per-trajectory ``.npz`` with ``u`` = raw vorticity
 ``(nt, ny, nx, 1)`` and ``v`` = winds ``(nt, ny, nx, 2)`` (the
-ShallowWaterOpener npz schema), plus ``normstats.npz``
-(``scripts/compute_normalization.py:14-96`` analog).
+ShallowWaterOpener npz schema).  For ``mode='train'`` the train-set
+``normstats.npz`` is also written (``scripts/compute_normalization.py:14-96``
+analog); the opener applies it at load for every mode, mirroring the
+reference's zarr+normstats path (``datapipes/shallowwater2d.py:96-118``).
 """
 
 from __future__ import annotations
@@ -124,8 +126,9 @@ def simulate_trajectory(rng: jax.Array, pde: ShallowWaterWeather):
         jnp.full((ny, nx), _HMEAN))
     dh = jnp.zeros_like(zh)
 
-    # CFL: gravity waves at c=1 plus rotation; dx = lx/nx.
-    dt = 0.25 * (lx / nx) / (1.0 + 0.5)
+    # CFL: gravity waves at c=1 plus rotation, against the FINER of the two
+    # grid spacings (a user-overridden aspect ratio must not go unstable).
+    dt = 0.25 * min(lx / nx, ly / ny) / (1.0 + 0.5)
     substeps = max(math.ceil(_T_END / pde.nt / dt), 1)
     dt = _T_END / pde.nt / substeps
 
@@ -165,8 +168,9 @@ def generate_trajectories_shallowwater(pde: ShallowWaterWeather, mode: str,
                      u=vor[i][..., None].astype(np.float32),
                      v=np.stack([u[i], v[i]], axis=-1).astype(np.float32))
             paths.append(path)
-    mean = vor_sum / count
-    std = float(np.sqrt(vor_sq / count - mean ** 2))
-    np.savez(os.path.join(dirname, "normstats.npz"),
-             vor_mean=np.float32(mean), vor_std=np.float32(std))
+    if mode == "train":  # valid/test must use the train stats, not their own
+        mean = vor_sum / count
+        std = float(np.sqrt(vor_sq / count - mean ** 2))
+        np.savez(os.path.join(dirname, "normstats.npz"),
+                 vor_mean=np.float32(mean), vor_std=np.float32(std))
     return paths
