@@ -144,3 +144,24 @@ def test_frozen_params_do_not_move_and_loss_decreases():
         if flatl[path] == "frozen":
             np.testing.assert_array_equal(np.asarray(a),
                                           np.asarray(flat_e[path]))
+
+
+def test_stage_spec_short_schedule_uses_model_levels():
+    """Fewer stages than levels: the reference derives the stage resolution
+    from the MODEL's level count (diff_cifar/main.py:290-293), so a 2-stage
+    schedule on a 4-level model never reaches full resolution."""
+    specs = trainer.StageSpec.from_schedule([100, 100], n_levels=4)
+    assert [(s.n_levels_used, s.n_downsample) for s in specs] == [
+        (1, 3), (2, 2)]
+
+
+def test_linear_warmup_reaches_base_lr_at_last_warmup_epoch():
+    # reference closed form divisor is (warmup_epochs - 1)
+    s = schedules.linear_warmup_cosine_annealing(1.0, 5, 50)
+    np.testing.assert_allclose(float(s(4)), 1.0, atol=1e-6)
+    # per-step evaluation with steps_per_epoch: same curriculum
+    s2 = schedules.linear_warmup_cosine_annealing(1.0, 5, 50,
+                                                  steps_per_epoch=10)
+    np.testing.assert_allclose(float(s2(40)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(s2(20)), float(s(2)), atol=1e-6)
+    assert float(s2(499)) > 0.0  # never collapses mid-training

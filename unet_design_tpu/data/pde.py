@@ -92,6 +92,18 @@ class NavierStokesOpener:
         files = sorted(glob.glob(os.path.join(data_path, "*.h5")))
         return [f for f in files if mode in os.path.basename(f)]
 
+    def n_trajectories(self) -> int:
+        """Trajectory count from file metadata only (no array reads)."""
+        import h5py
+        total = 0
+        for path in self.paths:
+            with h5py.File(path, "r") as f:
+                num = f[self.mode]["u"].shape[0]
+                if self.limit not in (None, -1):
+                    num = min(num, self.limit)
+                total += num
+        return total
+
     def __iter__(self):
         import h5py
         for path in self.paths:
@@ -133,6 +145,13 @@ class ShallowWaterOpener:
                                           or name.endswith(".npz")):
                 out.append(full)
         return out
+
+    def n_trajectories(self) -> int:
+        """Trajectory count (one per file; zarr and npz alike)."""
+        n = len(self.paths)
+        if self.limit not in (None, -1):
+            n = min(n, self.limit)
+        return n
 
     def __iter__(self):
         count = 0

@@ -154,20 +154,16 @@ def ddpm_sample(model_fn: ModelFn, schedule: DDPMSchedule, rng: jax.Array,
         out = model_fn(x_t, t, n_levels_used)
         if multi_res_loss:
             out = out[-1]
+        # NOTE: the reference computes the posterior mean from the UNCLIPPED
+        # x0 — its `x_0 = clip(x_0)` sits after the mean and is dead code
+        # (diff_cifar/diffusion.py:204); only the final sample is clipped.
         if mean_type == "xprev":
-            x0 = (_extract(1.0 / schedule.posterior_mean_coef1, t, nd) * out
-                  - _extract(schedule.posterior_mean_coef2
-                             / schedule.posterior_mean_coef1, t, nd) * x_t)
             mean = out
         elif mean_type == "xstart":
-            x0 = out
-            mean = q_posterior_mean(jnp.clip(x0, -1.0, 1.0) if clip else x0,
-                                    x_t, t)
+            mean = q_posterior_mean(out, x_t, t)
         else:  # epsilon
             x0 = (_extract(schedule.sqrt_recip_alphas_bar, t, nd) * x_t
                   - _extract(schedule.sqrt_recipm1_alphas_bar, t, nd) * out)
-            if clip:
-                x0 = jnp.clip(x0, -1.0, 1.0)
             mean = q_posterior_mean(x0, x_t, t)
         log_var = _extract(log_var_buf, t, nd)
         noise = jax.random.normal(step_rng, x_t.shape, x_t.dtype)

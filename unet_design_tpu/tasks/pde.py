@@ -172,8 +172,17 @@ def train(cfg: Config):
 
     lr = cfg.train.lr
     if cfg.train.warmup_epochs > 0:
+        # optax evaluates the schedule per optimizer step; the reference
+        # steps LinearWarmupCosineAnnealingLR once per epoch, so convert.
+        opener = open_trajectories(cfg.data, "train")
+        try:
+            n_windows = opener.n_trajectories()  # one window/traj (cycles=1)
+        except (AttributeError, OSError):
+            n_windows = cfg.data.batch_size  # fallback: 1 step/epoch
+        steps_per_epoch = max(1, -(-n_windows // cfg.data.batch_size))
         lr = schedules.linear_warmup_cosine_annealing(
-            cfg.train.lr, cfg.train.warmup_epochs, n_epochs_total)
+            cfg.train.lr, cfg.train.warmup_epochs, n_epochs_total,
+            steps_per_epoch=steps_per_epoch)
 
     for epoch in range(n_epochs_total):
         stage = find_cur_stage(cfg.train.num_epochs_list, epoch) if sequ \

@@ -5,8 +5,11 @@ Replaces both reference schemes (SURVEY.md §5): the wandb-file
 (``diff_cifar/main.py:532-539``) and Lightning's best-val ``ModelCheckpoint``
 (``configs/navierstokes2d.yaml:37-46``).  One orbax checkpointer stores the
 whole :class:`~unet_design_tpu.train.trainer.TrainState`-shaped pytree plus a
-JSON-serializable config/metrics dict; ``keep`` and ``best_metric`` options
-cover both periodic-iteration and best-so-far policies.
+JSON-serializable config/metrics dict.  The ``keep`` option covers the
+periodic-iteration policy; best-so-far selection is the caller's concern —
+each task tracks its own validation metric and saves under a dedicated step
+key (e.g. ``wmh.py``/``pde.py``), matching the reference where the policy
+lives in the trainer, not the writer.
 """
 
 from __future__ import annotations

@@ -124,13 +124,21 @@ class StageSpec:
     @classmethod
     def from_schedule(cls, schedule, n_levels: int):
         """``NUM_ITERATIONS_LIST`` / ``num_epochs_list`` semantics: the list
-        length is the number of stages; stage j uses j+1 levels and
-        ``len-1-j`` DWT downsamples (``diff_cifar/main.py:276-308``)."""
+        length is the number of stages; stage j trains at resolution
+        ``highest / 2^(n_levels-1-j)`` with j+1 levels — the downsample count
+        comes from the MODEL's level count, not the stage count
+        (``diff_cifar/main.py:290-293``: ``resolutions`` has ``n_levels``
+        entries and ``cur_res = resolutions[-(j+1)]``), so a schedule shorter
+        than ``n_levels`` never reaches full resolution, exactly like the
+        reference."""
         n_stages = len(schedule)
         out = []
         for j, iters in enumerate(schedule):
             if n_stages == 1:
                 out.append(cls(0, 1, iters, n_levels, 0))
             else:
-                out.append(cls(j, n_stages, iters, j + 1, n_stages - 1 - j))
+                assert n_stages <= n_levels, (
+                    f"{n_stages} stages but the model only has {n_levels} "
+                    "levels (the reference indexes resolutions[-(j+1)])")
+                out.append(cls(j, n_stages, iters, j + 1, n_levels - 1 - j))
         return out
