@@ -10,6 +10,7 @@ CASES = {
     "configs/diff_cifar_staged.yaml": diff_cifar.Config,
     "configs/diff_mnist_triangular.yaml": diff_mnist.Config,
     "configs/pde_navierstokes2d.yaml": pde.Config,
+    "configs/pde_ns2d_quickstart.yaml": pde.Config,
     "configs/wmh.yaml": wmh.Config,
 }
 
