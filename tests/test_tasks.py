@@ -1,6 +1,8 @@
 """End-to-end smoke tests: each task trains a tiny config on synthetic data,
 mirroring the reference's LightningModule integration tests on random tensors
 (pdearena/tests/test_pdemodel.py)."""
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -37,12 +39,17 @@ def test_diff_mnist_staged_end_to_end(tmp_path):
     cfg.diffusion.N = 4
     cfg.diffusion.beta_max = 2.0  # must be < N (reference constraint)
     cfg.diffusion.staged_partitioned_time_intervals = True
-    cfg.train.num_iterations_list = [2, 2, 2]
+    cfg.train.num_iterations_list = [2, 2]  # 2 stages over 3 levels
     cfg.train.freeze_lower_res = True
-    cfg.train.samples_every_iters = 0
+    cfg.train.samples_every_iters = 3   # fires at iters 0 and 3
+    cfg.train.n_samples = 4
+    cfg.train.do_superres = True        # end-of-train 4 -> 8 superres
     cfg.train.logdir = str(tmp_path / "mnist")
     state = diff_mnist.train(cfg)
     assert int(state.step) == 2
+    figures = os.listdir(tmp_path / "mnist" / "figures")
+    assert any(f.startswith("samples_res_") for f in figures), figures
+    assert any(f.startswith("superres") for f in figures), figures
 
     # sampling at the final stage + superres from 2 -> 8
     model = diff_mnist.build_model(cfg, 1)

@@ -85,6 +85,7 @@ class TrainConfig:
     metrics_every_iters: int = 100
     save_every_iters: int = 0
     do_superres: bool = False
+    superres_factor: int = 2         # target_res / final trained res
     logdir: str = "runs/diff_mnist"
 
 
@@ -265,10 +266,21 @@ def train(cfg: Config):
                 metrics.log(m, train_iter)
             if (cfg.train.samples_every_iters
                     and train_iter % cfg.train.samples_every_iters == 0):
-                rng, s_rng = jax.random.split(rng)
-                sample(cfg, model, state.params, vp, s_rng, n,
-                       cfg.data.resolution // 2 ** stage.n_downsample,
-                       in_channels)
+                # sample at every active resolution and log the grids
+                # (``diff_mnist/main.py:480-554`` keeps one x_T per
+                # resolution and plots each via plot_uncond_samples)
+                from unet_design_tpu.utils import visualization
+                stage_res = cfg.data.resolution // 2 ** stage.n_downsample
+                for k in (range(1, n + 1) if is_wavelet else (1,)):
+                    r = stage_res // 2 ** (n - k)
+                    rng, s_rng = jax.random.split(rng)
+                    imgs = sample(cfg, model, state.params, vp, s_rng, k,
+                                  r, in_channels)
+                    side = max(1, int(math.sqrt(len(imgs))))
+                    fig = visualization.plot_sample_grid(
+                        imgs[:side * side], side, side,
+                        f"res {r}, iter {train_iter}")
+                    metrics.log_figure(f"samples/res_{r}", fig, train_iter)
             if (cfg.train.u_net_norm_every_iters
                     and cfg.model.name == "unet_wavelet"
                     and train_iter % cfg.train.u_net_norm_every_iters == 0):
@@ -281,6 +293,31 @@ def train(cfg: Config):
                                        "opt_state": state.opt_state})
             train_iter += 1
         params = state.params
+
+    if cfg.train.do_superres and is_wavelet and sequ:
+        # super-resolution sampling at the end of training
+        # (``diff_mnist/main.py:625-672``): reuse the trained levels and
+        # decode ``extra`` additional octaves above the trained resolution.
+        final = stages[-1]
+        n_used = final.n_levels_used
+        extra = int(math.log2(max(cfg.train.superres_factor, 1)))
+        if extra > 0 and n_used + extra <= n_levels:
+            from unet_design_tpu.utils import visualization
+            source_res = cfg.data.resolution // 2 ** final.n_downsample
+            target_res = source_res * cfg.train.superres_factor
+            rng, sr_rng = jax.random.split(rng)
+            imgs = superres_sample(cfg, model, params, vp, sr_rng,
+                                   source_res, target_res, n_used,
+                                   in_channels)
+            side = max(1, int(math.sqrt(len(imgs))))
+            fig = visualization.plot_sample_grid(
+                imgs[:side * side], side, side,
+                f"superres {source_res}->{target_res}")
+            metrics.log_figure("superres", fig, train_iter)
+        else:
+            log.warning("do_superres skipped: factor %d needs %d levels, "
+                        "model has %d", cfg.train.superres_factor,
+                        n_used + extra, n_levels)
 
     ckpt.save(train_iter, {"params": params})
     metrics.close()

@@ -78,7 +78,8 @@ class MetricsLogger:
         if self._wandb:
             self._wandb.log(metrics, step=step)
 
-    def log_figure(self, name: str, fig, step: int) -> None:
+    def log_figure(self, name: str, fig, step: int,
+                   close: bool = True) -> None:
         if not self.is_main:
             return
         if self.logdir:
@@ -88,6 +89,9 @@ class MetricsLogger:
                                            f"_{step}.png"))
         if self._wandb:
             self._wandb.log({name: self._wandb.Image(fig)}, step=step)
+        if close:
+            import matplotlib.pyplot as plt
+            plt.close(fig)
 
     def close(self):
         if self._file:
