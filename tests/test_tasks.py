@@ -82,9 +82,13 @@ def test_diff_cifar_staged_end_to_end(tmp_path):
     cfg.train.num_iterations_list = [2, 2]
     cfg.train.freeze_lower_res = True
     cfg.train.warmup = 2
+    cfg.train.sample_step = 3      # fires at iters 0 and 3
+    cfg.train.sample_size = 4
     cfg.train.logdir = str(tmp_path / "cifar")
     state = diff_cifar.train(cfg)
     assert int(state.step) == 2
+    figures = os.listdir(tmp_path / "cifar" / "figures")
+    assert any(f.startswith("samples_res_") for f in figures), figures
     # EMA exists and sampler runs
     model = diff_cifar.build_model(cfg)
     from unet_design_tpu.process.diffusion import DDPMSchedule
@@ -150,3 +154,5 @@ def test_wmh_end_to_end(tmp_path):
     cfg.train.logdir = str(tmp_path / "wmh")
     best_params, sweep = wmh.train(cfg)
     assert len(sweep) == 9
+    figures = os.listdir(tmp_path / "wmh" / "figures")
+    assert any(f.startswith("valid_overlay") for f in figures), figures

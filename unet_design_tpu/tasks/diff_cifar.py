@@ -73,6 +73,7 @@ class TrainConfig:
     freeze_lower_res: bool = False
     seed: int = 0
     sample_step: int = 0
+    sample_size: int = 25            # images per in-training sample grid
     save_step: int = 0
     eval_step: int = 0
     num_eval_images: int = 50000
@@ -143,6 +144,7 @@ def train(cfg: Config):
     else:
         data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
     highest_res = data.shape[1]
+    in_ch = data.shape[-1]
 
     model = build_model(cfg)
     n_levels = model.n_levels
@@ -233,13 +235,24 @@ def train(cfg: Config):
                 metrics.log(m, step_count)
             if (cfg.train.sample_step
                     and step_count % cfg.train.sample_step == 0):
+                # EMA samples at every active resolution, logged as grids
+                # (``diff_cifar/main.py:455-516`` keeps one x_T per
+                # resolution and wandb-logs each sample grid)
+                from unet_design_tpu.utils import visualization
+                n_smp = cfg.train.sample_size
                 for r in [cur_res // 2 ** i for i in range(n)]:
                     nl = n - int(math.log2(cur_res // r))
                     if nl not in samplers:
                         samplers[nl] = make_sampler(cfg, model, sch, nl)
                     rng, n_rng, smp_rng = jax.random.split(rng, 3)
-                    x_T = jax.random.normal(n_rng, (25, r, r, 3))
-                    _ = samplers[nl](state.ema_params, smp_rng, x_T)
+                    x_T = jax.random.normal(n_rng, (n_smp, r, r, in_ch))
+                    imgs = np.asarray(
+                        samplers[nl](state.ema_params, smp_rng, x_T))
+                    side = max(1, int(math.sqrt(len(imgs))))
+                    fig = visualization.plot_sample_grid(
+                        imgs[:side * side], side, side,
+                        f"res {r}, iter {step_count}")
+                    metrics.log_figure(f"samples/res_{r}", fig, step_count)
             if (cfg.train.save_step and step_count > 0
                     and step_count % cfg.train.save_step == 0):
                 ckpt.save(step_count, {

@@ -190,13 +190,25 @@ def train(cfg: Config):
         metrics_logger.log({"train/loss": float(loss), "epoch": epoch}, step)
 
         if (epoch + 1) % cfg.train.val_every_epochs == 0:
-            val_loss, sweep = evaluate(cfg, predict_fn, params, va_x, va_y,
-                                       n_downsample)
+            val_loss, sweep, probs, tgts = evaluate(
+                cfg, predict_fn, params, va_x, va_y, n_downsample)
             best_th = max(sweep, key=lambda k: sweep[k]["dsc"])
             metrics_logger.log(
                 {"valid/loss": val_loss,
                  "valid/best_dsc": sweep[best_th]["dsc"],
                  "valid/best_threshold": best_th}, step)
+            # TP/FP/FN overlay of the most-lesioned validation slice
+            # (``wmh/train_pt.py:284-341`` logs segmentation overlays)
+            from unet_design_tpu.utils import visualization
+            i = int(np.argmax(tgts.reshape(tgts.shape[0], -1).sum(1)))
+            vx = va_x[i]
+            if n_downsample:
+                vx = np.asarray(wavelet.haar_downsample(
+                    jnp.asarray(vx[None]), n_downsample))[0]
+            fig = visualization.plot_segmentation(
+                vx[..., 0], tgts[i, ..., 0], probs[i, ..., 0],
+                threshold=best_th)
+            metrics_logger.log_figure("valid/overlay", fig, step)
             if val_loss < best_val:
                 best_val = val_loss
                 # deep-copy: the live params buffers are donated into
@@ -213,8 +225,8 @@ def train(cfg: Config):
                     break
 
     # final test with best params (``train_pt.py:662-666``)
-    test_loss, sweep = evaluate(cfg, predict_fn, best_params, te_x, te_y,
-                                n_downsample=0)
+    test_loss, sweep, _, _ = evaluate(cfg, predict_fn, best_params,
+                                      te_x, te_y, n_downsample=0)
     best_th = max(sweep, key=lambda k: sweep[k]["dsc"])
     metrics_logger.log({"test/loss": test_loss,
                         "test/best_dsc": sweep[best_th]["dsc"]}, step)
@@ -240,7 +252,7 @@ def evaluate(cfg: Config, predict_fn, params, images, masks,
     probs = np.concatenate(preds)
     tgts = np.concatenate(targets)
     sweep, _ = wmh_metrics.threshold_sweep(probs, tgts)
-    return float(np.mean(losses)), sweep
+    return float(np.mean(losses)), sweep, probs, tgts
 
 
 def main(argv=None):

@@ -77,7 +77,7 @@ def plot_segmentation(image: np.ndarray, mask: np.ndarray,
     p = pred >= threshold
     m = mask >= 0.5
     base = np.asarray(image, np.float32)
-    base = (base - base.min()) / (base.ptp() + 1e-8)
+    base = (base - base.min()) / (np.ptp(base) + 1e-8)
     rgb = np.stack([base] * 3, axis=-1)
     rgb[np.logical_and(p, m)] = [0, 1, 0]      # TP
     rgb[np.logical_and(p, ~m)] = [1, 0, 0]     # FP
