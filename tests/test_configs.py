@@ -3,14 +3,17 @@ import glob
 
 import pytest
 
-from unet_design_tpu.tasks import diff_cifar, diff_mnist, pde, wmh
+from unet_design_tpu.tasks import cond_pde, diff_cifar, diff_mnist, pde, wmh
 from unet_design_tpu.utils import config as config_lib
 
 CASES = {
+    "configs/cond_pde_navierstokes2d.yaml": cond_pde.Config,
     "configs/diff_cifar_staged.yaml": diff_cifar.Config,
     "configs/diff_mnist_triangular.yaml": diff_mnist.Config,
     "configs/pde_navierstokes2d.yaml": pde.Config,
     "configs/pde_ns2d_quickstart.yaml": pde.Config,
+    "configs/pde_shallowwater2d_1day.yaml": pde.Config,
+    "configs/pde_shallowwater2d_2day.yaml": pde.Config,
     "configs/wmh.yaml": wmh.Config,
 }
 

@@ -156,3 +156,31 @@ def test_wmh_end_to_end(tmp_path):
     assert len(sweep) == 9
     figures = os.listdir(tmp_path / "wmh" / "figures")
     assert any(f.startswith("valid_overlay") for f in figures), figures
+
+
+def test_pde_shallowwater_nonsquare_end_to_end(tmp_path):
+    """Shallow-water task path: .npz opener + Unetbase-64_G on a non-square
+    grid (the real dataset is 96x192; reference shallowwater2d_2day.yaml)."""
+    rng = np.random.default_rng(0)
+    datadir = tmp_path / "sw"
+    datadir.mkdir()
+    for mode in ("train", "valid"):
+        for i in range(2):
+            np.savez(datadir / f"{mode}_{i}.npz",
+                     u=rng.standard_normal((5, 16, 32, 1)).astype(np.float32),
+                     v=rng.standard_normal((5, 16, 32, 2)).astype(np.float32))
+    cfg = pde.Config()
+    cfg.data.task = "shallowwater2d"
+    cfg.data.data_path = str(datadir)
+    cfg.data.trajlen = 5
+    cfg.data.resolution = 16
+    cfg.data.time_history = 2
+    cfg.data.max_num_steps = 1
+    cfg.data.batch_size = 2
+    cfg.model.name = "Unetbase-64_G"
+    cfg.model.hidden_channels = 4
+    cfg.model.dwt_encoder = True
+    cfg.train.num_epochs_list = [1]
+    cfg.train.logdir = str(tmp_path / "sw_run")
+    state = pde.train(cfg)
+    assert state is not None
