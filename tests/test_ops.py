@@ -135,6 +135,59 @@ def test_spectral_conv2d_matches_reference_math():
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_trunc_dft_matmul_matches_fft():
+    """MXU truncated-DFT path == rfft2-slice / zero-pad-irfft2 (non-square,
+    including the C2R convention that Im of the l=0 column is dropped)."""
+    rng = np.random.default_rng(0)
+    b, h, w, c, m1, m2 = 2, 12, 20, 3, 4, 5
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    xf = np.fft.rfft2(x, axes=(1, 2))
+    ref = np.concatenate([xf[:, :m1, :m2, :], xf[:, -m1:, :m2, :]], axis=1)
+    re, im = spectral._trunc_rfft2(jnp.asarray(x), m1, m2)
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=1e-4)
+
+    sp = (rng.standard_normal((b, 2 * m1, m2, c))
+          + 1j * rng.standard_normal((b, 2 * m1, m2, c)))  # Im(l=0) != 0
+    full = np.zeros((b, h, w // 2 + 1, c), complex)
+    full[:, :m1, :m2, :] = sp[:, :m1]
+    full[:, -m1:, :m2, :] = sp[:, m1:]
+    ref_y = np.fft.irfft2(full, s=(h, w), axes=(1, 2))
+    y = spectral._trunc_irfft2(jnp.asarray(sp.real, jnp.float32),
+                               jnp.asarray(sp.imag, jnp.float32), h, w)
+    np.testing.assert_allclose(np.asarray(y), ref_y, atol=1e-5)
+
+
+def test_spectral_conv2d_fft_fallback_matches_reference_math():
+    """Nyquist-column configs (m2 > W//2) must fall back to the FFT path and
+    still match the reference math."""
+    m1, m2 = 3, 5  # W=8 -> m2 > W//2
+    assert not spectral._use_dft_matmul(16, 8, m1, m2)
+    m = spectral.SpectralConv2d(out_channels=4, modes1=m1, modes2=m2)
+    x = jax.random.normal(RNG, (2, 16, 8, 3))
+    params = m.init(RNG, x)
+    y = m.apply(params, x)
+    w1 = np.asarray(params["params"]["weights1"])
+    w2 = np.asarray(params["params"]["weights2"])
+    ref = _np_spectral_conv2d(np.asarray(x, np.float64), w1, w2, m1, m2)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spectral_conv1d_matches_reference_math():
+    mm = 5
+    m = spectral.SpectralConv1d(out_channels=4, modes=mm)
+    x = jax.random.normal(RNG, (2, 32, 3))
+    p = m.init(RNG, x)
+    y = m.apply(p, x)
+    w = np.asarray(p["params"]["weights"])
+    xf = np.fft.rfft(np.asarray(x, np.float64), axis=1)
+    cw = w[..., 0] + 1j * w[..., 1]
+    out = np.zeros((2, 17, 4), complex)
+    out[:, :mm, :] = np.einsum("bxi,iox->bxo", xf[:, :mm, :], cw)
+    ref = np.fft.irfft(out, n=32, axis=1)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
+
+
 def test_spectral_conv1d_3d_shapes():
     m = spectral.SpectralConv1d(out_channels=4, modes=5)
     x = jax.random.normal(RNG, (2, 32, 3))
@@ -180,6 +233,32 @@ def test_spectral_conv_uno_forward_norm_equivalence():
     out_ft[:, -m1:, :m2, :] = bot
     ref = np.fft.irfft2(out_ft, s=(d1, d2), axes=(1, 2), norm="forward")
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+def test_cond_spectral_conv2d_matches_reference_math():
+    """Golden test for CondSpectralConv2d (fourier_cond.py:13-80 math): the
+    FreqLinear per-mode complex scale applied to the truncated spectrum
+    before mode mixing — exercises the truncated-DFT matmul path."""
+    m1 = m2 = 4
+    m = spectral.CondSpectralConv2d(out_channels=3, modes1=m1, modes2=m2)
+    x = jax.random.normal(RNG, (2, 16, 16, 5))
+    emb = jax.random.normal(jax.random.PRNGKey(7), (2, 6))
+    p = m.init(RNG, x, emb)
+    y = m.apply(p, x, emb)
+    pp = {k: np.asarray(v, np.float64) for k, v in p["params"].items()}
+    hh = (np.asarray(emb, np.float64) @ pp["freq_weights"]
+          + pp["freq_bias"]).reshape(2, m1, m2, 2, 2)
+    emb_c = hh[..., 0] + 1j * hh[..., 1]  # (B, m1, m2, corner)
+    xf = np.fft.rfft2(np.asarray(x, np.float64), axes=(1, 2))
+    c1 = pp["weights1"][..., 0] + 1j * pp["weights1"][..., 1]
+    c2 = pp["weights2"][..., 0] + 1j * pp["weights2"][..., 1]
+    out = np.zeros((2, 16, 9, 3), complex)
+    out[:, :m1, :m2] = np.einsum(
+        "bxyi,ioxy->bxyo", xf[:, :m1, :m2] * emb_c[..., 0][..., None], c1)
+    out[:, -m1:, :m2] = np.einsum(
+        "bxyi,ioxy->bxyo", xf[:, -m1:, :m2] * emb_c[..., 1][..., None], c2)
+    ref = np.fft.irfft2(out, s=(16, 16), axes=(1, 2))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
 
 
 def test_spectral_convs_lower_without_complex_constants():

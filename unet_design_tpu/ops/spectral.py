@@ -13,6 +13,17 @@ on tunneled TPU backends and poisons the process client; complex values here
 only ever exist as traced tensors between ``rfft`` and ``irfft``.
 
 Layout is NHWC: spatial FFT axes are (1, 2) for 2D inputs ``(B, H, W, C)``.
+
+**Truncated-DFT matmul path.**  FNO keeps only a small ``(2*m1, m2)`` corner
+of the spectrum, so computing a full ``rfft2`` (slow on TPU: XLA lowers FFT
+to scalar-heavy code, not MXU work) then slicing — and scattering the mixed
+modes back into a zero ``(B, H, W//2+1, C)`` spectrum for ``irfft2`` — wastes
+both FLOPs and HBM traffic.  Whenever ``2*m1 <= H`` and ``m2 <= W//2`` (every
+registry FNO/U-FNet/UNO config), the 1D/2D convs instead contract the input
+directly with truncated real DFT matrices (:func:`_trunc_rfft2`) and invert
+from the corner modes alone (:func:`_trunc_irfft2`) — pure ``einsum`` work on
+the systolic array, numerically equal to the FFT path (golden-tested, incl.
+the C2R convention that Im of the ``l=0`` column is dropped).
 """
 
 from __future__ import annotations
@@ -26,6 +37,74 @@ from flax import linen as nn
 Dtype = Any
 
 
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _dft_mats(n: int, modes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables ``exp(-2*pi*i*n*k/N)`` for the given mode indices.
+
+    Returns ``(cos, sin)`` of shape ``(N, len(modes))``; real-valued constants
+    only (no eager complex — see module docstring).
+    """
+    ang = 2.0 * jnp.pi * (jnp.arange(n)[:, None] * modes[None, :]) / n
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _use_dft_matmul(h: int, w: int, m1: int, m2: int) -> bool:
+    """The truncated-DFT matmul path is valid when the two half-spectrum row
+    blocks don't overlap and no Nyquist column is kept."""
+    return 2 * m1 <= h and m2 <= w // 2
+
+
+def _trunc_rfft2(x: jnp.ndarray, m1: int, m2: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Corner modes of ``rfft2(x, axes=(1, 2))`` via MXU matmuls.
+
+    TPU-native replacement for *compute the full FFT then slice*: only the
+    ``(2*m1, m2)`` corner modes FNO keeps are ever computed, as four real
+    matmuls with truncated DFT matrices (systolic-array work instead of XLA's
+    slow TPU FFT), and the big ``(B, H, W//2+1, C)`` spectrum is never
+    materialized.  Returns ``(re, im)`` of shape ``(B, 2*m1, m2, C)`` — rows
+    are the first ``m1`` then the last ``m1`` frequencies of the H axis.
+    """
+    _, h, w, _ = x.shape
+    cw, sw = _dft_mats(w, jnp.arange(m2))
+    tr = jnp.einsum("bhwc,wl->bhlc", x, cw, precision=_HIGH)
+    ti = -jnp.einsum("bhwc,wl->bhlc", x, sw, precision=_HIGH)
+    rows = jnp.concatenate([jnp.arange(m1), jnp.arange(h - m1, h)])
+    ch, sh = _dft_mats(h, rows)
+    re = (jnp.einsum("bhlc,hk->bklc", tr, ch, precision=_HIGH)
+          + jnp.einsum("bhlc,hk->bklc", ti, sh, precision=_HIGH))
+    im = (jnp.einsum("bhlc,hk->bklc", ti, ch, precision=_HIGH)
+          - jnp.einsum("bhlc,hk->bklc", tr, sh, precision=_HIGH))
+    return re, im
+
+
+def _trunc_irfft2(re: jnp.ndarray, im: jnp.ndarray, h: int, w: int
+                  ) -> jnp.ndarray:
+    """``irfft2`` of a spectrum that is zero outside the ``(2*m1, m2)`` corner
+    blocks, via MXU matmuls (inverse of :func:`_trunc_rfft2`).
+
+    Matches ``jnp.fft.irfft2`` on the zero-padded spectrum bit-for-bit-ish,
+    including the C2R convention that the imaginary part of the ``l = 0``
+    column is ignored (the ``sin`` table's zero row drops it).  Requires
+    ``m2 <= w//2`` so no kept column is the Nyquist bin (golden-tested).
+    """
+    _, k2, m2, _ = re.shape
+    m1 = k2 // 2
+    rows = jnp.concatenate([jnp.arange(m1), jnp.arange(h - m1, h)])
+    ch, sh = _dft_mats(h, rows)  # (H, 2*m1); inverse uses the transpose/+i
+    tr = (jnp.einsum("bklc,hk->bhlc", re, ch, precision=_HIGH)
+          - jnp.einsum("bklc,hk->bhlc", im, sh, precision=_HIGH)) / h
+    ti = (jnp.einsum("bklc,hk->bhlc", im, ch, precision=_HIGH)
+          + jnp.einsum("bklc,hk->bhlc", re, sh, precision=_HIGH)) / h
+    cw, sw = _dft_mats(w, jnp.arange(m2))  # (W, m2)
+    scale = jnp.concatenate([jnp.ones((1,)), jnp.full((m2 - 1,), 2.0)])
+    return (jnp.einsum("bhlc,l,wl->bhwc", tr, scale, cw, precision=_HIGH)
+            - jnp.einsum("bhlc,l,wl->bhwc", ti, scale, sw,
+                         precision=_HIGH)) / w
+
+
 def _mode_mix(eq: str, x_ft: jnp.ndarray, w: jnp.ndarray
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Complex contraction via four real einsums.
@@ -33,7 +112,12 @@ def _mode_mix(eq: str, x_ft: jnp.ndarray, w: jnp.ndarray
     ``x_ft`` is a traced complex spectrum slice; ``w`` is a real-pair weight
     ``(..., 2)``.  Returns the (real, imag) parts of ``einsum(eq, x_ft, w)``.
     """
-    xr, xi = jnp.real(x_ft), jnp.imag(x_ft)
+    return _mode_mix_ri(eq, jnp.real(x_ft), jnp.imag(x_ft), w)
+
+
+def _mode_mix_ri(eq: str, xr: jnp.ndarray, xi: jnp.ndarray, w: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`_mode_mix` on an already-split (real, imag) spectrum."""
     wr, wi = w[..., 0], w[..., 1]
     re = jnp.einsum(eq, xr, wr) - jnp.einsum(eq, xi, wi)
     im = jnp.einsum(eq, xr, wi) + jnp.einsum(eq, xi, wr)
@@ -55,6 +139,18 @@ class SpectralConv1d(nn.Module):
             lambda k, s: scale * jax.random.uniform(k, s, jnp.float32),
             (in_channels, self.out_channels, self.modes, 2))
         orig_dtype = x.dtype
+        n, m = x.shape[1], self.modes
+        if m <= n // 2:
+            xf = x.astype(jnp.float32)
+            cw, sw = _dft_mats(n, jnp.arange(m))
+            xr = jnp.einsum("bwc,wl->blc", xf, cw, precision=_HIGH)
+            xi = -jnp.einsum("bwc,wl->blc", xf, sw, precision=_HIGH)
+            re, im = _mode_mix_ri("bxi,iox->bxo", xr, xi, w)
+            scale = jnp.concatenate([jnp.ones((1,)), jnp.full((m - 1,), 2.0)])
+            y = (jnp.einsum("blc,l,wl->bwc", re, scale, cw, precision=_HIGH)
+                 - jnp.einsum("blc,l,wl->bwc", im, scale, sw,
+                              precision=_HIGH)) / n
+            return y.astype(orig_dtype)
         x_ft = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
         re, im = _mode_mix("bxi,iox->bxo", x_ft[:, :self.modes, :], w)
         full = (x.shape[0], x.shape[1] // 2 + 1, self.out_channels)
@@ -90,6 +186,13 @@ class SpectralConv2d(nn.Module):
         orig_dtype = x.dtype
         b, h, w, _ = x.shape
         m1, m2 = self.modes1, self.modes2
+        if _use_dft_matmul(h, w, m1, m2):
+            xr, xi = _trunc_rfft2(x.astype(jnp.float32), m1, m2)
+            tr, ti = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, :m1], xi[:, :m1], w1)
+            br, bi = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, m1:], xi[:, m1:], w2)
+            y = _trunc_irfft2(jnp.concatenate([tr, br], axis=1),
+                              jnp.concatenate([ti, bi], axis=1), h, w)
+            return y.astype(orig_dtype)
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
         tr, ti = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :], w1)
         br, bi = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2, :], w2)
@@ -176,6 +279,22 @@ class CondSpectralConv2d(nn.Module):
 
         orig_dtype = x.dtype
         b, hh, ww, _ = x.shape
+        if _use_dft_matmul(hh, ww, m1, m2):
+            xr, xi = _trunc_rfft2(x.astype(jnp.float32), m1, m2)
+            er, ei = h[..., 0], h[..., 1]  # (B, m1, m2, corner)
+            out_r, out_i = [], []
+            for corner, wgt, sl in ((0, w1, slice(None, m1)),
+                                    (1, w2, slice(m1, None))):
+                cr = er[..., corner][:, :, :, None]
+                ci = ei[..., corner][:, :, :, None]
+                sr = xr[:, sl] * cr - xi[:, sl] * ci
+                si = xr[:, sl] * ci + xi[:, sl] * cr
+                mr, mi = _mode_mix_ri("bxyi,ioxy->bxyo", sr, si, wgt)
+                out_r.append(mr)
+                out_i.append(mi)
+            y = _trunc_irfft2(jnp.concatenate(out_r, axis=1),
+                              jnp.concatenate(out_i, axis=1), hh, ww)
+            return y.astype(orig_dtype)
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
         top = x_ft[:, :m1, :m2, :] * emb_c[..., 0][:, :, :, None]
         bot = x_ft[:, -m1:, :m2, :] * emb_c[..., 1][:, :, :, None]
@@ -225,6 +344,14 @@ class SpectralConv2dUno(nn.Module):
         # e.g. under flax init) requires a complex host->device constant
         # upload — unimplemented on tunneled TPU backends (see module
         # docstring).  rfft_fwd(x) = rfft(x)/(h*w); irfft_fwd(z) = irfft(z)*N.
+        if _use_dft_matmul(h, w, m1, m2) and _use_dft_matmul(d1, d2, m1, m2):
+            xr, xi = _trunc_rfft2(x.astype(jnp.float32) / (h * w), m1, m2)
+            tr, ti = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, :m1], xi[:, :m1], w1)
+            br, bi = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, m1:], xi[:, m1:], w2)
+            y = _trunc_irfft2(jnp.concatenate([tr, br], axis=1),
+                              jnp.concatenate([ti, bi], axis=1),
+                              d1, d2) * (d1 * d2)
+            return y.astype(orig_dtype)
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32) / (h * w), axes=(1, 2))
         tr, ti = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :], w1)
         br, bi = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2, :], w2)
