@@ -200,6 +200,30 @@ def test_spectral_conv1d_3d_shapes():
     assert m.apply(p, x).shape == (1, 8, 8, 8, 4)
 
 
+def test_spectral_conv3d_matches_reference_math():
+    """Golden test for SpectralConv3d (fourier.py:125-190 math) — exercises
+    the 3D truncated-DFT matmul path (non-cubic grid)."""
+    m1, m2, m3 = 2, 3, 2
+    m = spectral.SpectralConv3d(out_channels=3, modes1=m1, modes2=m2,
+                                modes3=m3)
+    x = jax.random.normal(RNG, (2, 6, 8, 10, 4))
+    p = m.init(RNG, x)
+    y = m.apply(p, x)
+    xf = np.fft.rfftn(np.asarray(x, np.float64), axes=(1, 2, 3))
+    out = np.zeros((2, 6, 8, 6, 3), complex)
+    corners = [(slice(None, m1), slice(None, m2)),
+               (slice(-m1, None), slice(None, m2)),
+               (slice(None, m1), slice(-m2, None)),
+               (slice(-m1, None), slice(-m2, None))]
+    for i, (s1, s2) in enumerate(corners):
+        wi = np.asarray(p["params"][f"weights{i+1}"], np.float64)
+        cw = wi[..., 0] + 1j * wi[..., 1]
+        out[:, s1, s2, :m3] = np.einsum("bxyzi,ioxyz->bxyzo",
+                                        xf[:, s1, s2, :m3], cw)
+    ref = np.fft.irfftn(out, s=(6, 8, 10), axes=(1, 2, 3))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
+
+
 def test_spectral_conv_uno_resizes():
     m = spectral.SpectralConv2dUno(out_channels=4, dim1=12, dim2=12,
                                    modes1=4, modes2=4)

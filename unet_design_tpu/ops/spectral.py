@@ -105,6 +105,52 @@ def _trunc_irfft2(re: jnp.ndarray, im: jnp.ndarray, h: int, w: int
                          precision=_HIGH)) / w
 
 
+def _trunc_rfft3(x: jnp.ndarray, m1: int, m2: int, m3: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Corner modes of ``rfftn(x, axes=(1, 2, 3))`` via MXU matmuls
+    (3D analog of :func:`_trunc_rfft2`).  ``x`` is ``(B, D, H, W, C)``;
+    returns ``(re, im)`` of shape ``(B, 2*m1, 2*m2, m3, C)`` — each
+    frequency axis stacks its first and last ``m`` modes.
+    """
+    _, d, h, w, _ = x.shape
+    cw, sw = _dft_mats(w, jnp.arange(m3))
+    tr = jnp.einsum("bdhwc,wl->bdhlc", x, cw, precision=_HIGH)
+    ti = -jnp.einsum("bdhwc,wl->bdhlc", x, sw, precision=_HIGH)
+    for axis, (n, m) in ((2, (h, m2)), (1, (d, m1))):
+        rows = jnp.concatenate([jnp.arange(m), jnp.arange(n - m, n)])
+        cn, sn = _dft_mats(n, rows)
+        eq = ("bdhlc,hk->bdklc" if axis == 2 else "bdhlc,dk->bkhlc")
+        nr = (jnp.einsum(eq, tr, cn, precision=_HIGH)
+              + jnp.einsum(eq, ti, sn, precision=_HIGH))
+        ni = (jnp.einsum(eq, ti, cn, precision=_HIGH)
+              - jnp.einsum(eq, tr, sn, precision=_HIGH))
+        tr, ti = nr, ni
+    return tr, ti
+
+
+def _trunc_irfft3(re: jnp.ndarray, im: jnp.ndarray, d: int, h: int, w: int
+                  ) -> jnp.ndarray:
+    """``irfftn`` of a spectrum that is zero outside the stacked corner
+    blocks (3D analog of :func:`_trunc_irfft2`; requires ``m3 <= w//2``)."""
+    _, k1, k2, m3, _ = re.shape
+    m1, m2 = k1 // 2, k2 // 2
+    tr, ti = re, im
+    for axis, (n, m) in ((1, (d, m1)), (2, (h, m2))):
+        rows = jnp.concatenate([jnp.arange(m), jnp.arange(n - m, n)])
+        cn, sn = _dft_mats(n, rows)
+        eq = ("bkhlc,dk->bdhlc" if axis == 1 else "bdklc,hk->bdhlc")
+        nr = (jnp.einsum(eq, tr, cn, precision=_HIGH)
+              - jnp.einsum(eq, ti, sn, precision=_HIGH)) / n
+        ni = (jnp.einsum(eq, ti, cn, precision=_HIGH)
+              + jnp.einsum(eq, tr, sn, precision=_HIGH)) / n
+        tr, ti = nr, ni
+    cw, sw = _dft_mats(w, jnp.arange(m3))
+    scale = jnp.concatenate([jnp.ones((1,)), jnp.full((m3 - 1,), 2.0)])
+    return (jnp.einsum("bdhlc,l,wl->bdhwc", tr, scale, cw, precision=_HIGH)
+            - jnp.einsum("bdhlc,l,wl->bdhwc", ti, scale, sw,
+                         precision=_HIGH)) / w
+
+
 def _mode_mix(eq: str, x_ft: jnp.ndarray, w: jnp.ndarray
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Complex contraction via four real einsums.
@@ -225,8 +271,24 @@ class SpectralConv3d(nn.Module):
             for i in range(4)]
         orig_dtype = x.dtype
         b, d, h, w, _ = x.shape
-        x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3))
         m1, m2, m3 = self.modes1, self.modes2, self.modes3
+        if 2 * m1 <= d and 2 * m2 <= h and m3 <= w // 2:
+            xr, xi = _trunc_rfft3(x.astype(jnp.float32), m1, m2, m3)
+            halves = (slice(None, m1), slice(m1, None))
+            halves2 = (slice(None, m2), slice(m2, None))
+            corner_slices = [(halves[0], halves2[0]), (halves[1], halves2[0]),
+                             (halves[0], halves2[1]), (halves[1], halves2[1])]
+            rr = jnp.zeros((b, 2 * m1, 2 * m2, m3, self.out_channels),
+                           jnp.float32)
+            ii = rr
+            for wgt, (s1, s2) in zip(ws, corner_slices):
+                mr, mi = _mode_mix_ri("bxyzi,ioxyz->bxyzo",
+                                      xr[:, s1, s2], xi[:, s1, s2], wgt)
+                rr = rr.at[:, s1, s2].set(mr)
+                ii = ii.at[:, s1, s2].set(mi)
+            y = _trunc_irfft3(rr, ii, d, h, w)
+            return y.astype(orig_dtype)
+        x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3))
         full = (b, d, h, w // 2 + 1, self.out_channels)
         re_f = jnp.zeros(full, jnp.float32)
         im_f = jnp.zeros(full, jnp.float32)
