@@ -66,6 +66,9 @@ class TrainConfig:
     seed: int = 0
     val_every_epochs: int = 1
     early_stop_patience: int = 0      # 0 disables
+    # improvement must beat best - min_improvement to reset patience
+    # (``wmh/train_pt.py:619-627``; reference default 0.001)
+    early_stop_min_improvement: float = 0.0
     logdir: str = "runs/wmh"
 
 
@@ -209,7 +212,7 @@ def train(cfg: Config):
                 vx[..., 0], tgts[i, ..., 0], probs[i, ..., 0],
                 threshold=best_th)
             metrics_logger.log_figure("valid/overlay", fig, step)
-            if val_loss < best_val:
+            if val_loss < best_val - cfg.train.early_stop_min_improvement:
                 best_val = val_loss
                 # deep-copy: the live params buffers are donated into
                 # subsequent jitted steps
