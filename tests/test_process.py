@@ -86,7 +86,7 @@ def test_vp_diffusion_roundtrip():
 
 
 def test_vp_weighted_multires_loss_uses_true_power():
-    vp = diffusion.VPDiffusion.create(N=10, multi_res_loss=True,
+    vp = diffusion.VPDiffusion.create(N=10, beta_max=2.0, multi_res_loss=True,
                                       weighted_multi_res_loss=True)
     outs = [jnp.ones((2, 4, 4, 1)), jnp.ones((2, 8, 8, 1))]
     tgts = [jnp.zeros((2, 4, 4, 1)), jnp.zeros((2, 8, 8, 1))]

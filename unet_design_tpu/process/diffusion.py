@@ -243,6 +243,13 @@ class VPDiffusion:
                multi_res_loss: bool = False,
                weighted_multi_res_loss: bool = False) -> "VPDiffusion":
         betas = np.linspace(beta_min / N, beta_max / N, N, dtype=np.float64)
+        if betas[-1] >= 1.0:
+            import warnings
+            warnings.warn(
+                f"beta_max/N = {betas[-1]:.3f} >= 1: alpha goes non-positive "
+                "and the VP schedule buffers contain NaN (the reference "
+                "torch_ddpm/ddpm/diffusion.py:55-69 has the same failure "
+                "mode); increase N or lower beta_max.", stacklevel=2)
         alphas = 1.0 - betas
         acp = np.cumprod(alphas)
         f32 = lambda a: jnp.asarray(a, jnp.float32)
