@@ -1,0 +1,221 @@
+"""Execution parity against the REFERENCE implementation itself.
+
+These tests import reference modules from ``/root/reference`` (torch CPU) and
+run them side-by-side with our JAX implementations on identical inputs —
+stronger evidence than re-derived golden values.  Only reference files whose
+import chain is torch-only are used (``pytorch_wavelets`` is stubbed where it
+is imported but unused by the tested code path).  Skipped entirely when the
+reference checkout or torch is unavailable.
+"""
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = pathlib.Path("/root/reference")
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="no reference checkout")
+
+from unet_design_tpu.data import pde as pde_data
+from unet_design_tpu.process import diffusion, losses
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_cifar_diffusion():
+    # diff_cifar/diffusion.py imports pytorch_wavelets at module level but the
+    # sampler/trainer construction paths under test never touch it.
+    if "pytorch_wavelets" not in sys.modules:
+        sys.modules["pytorch_wavelets"] = types.SimpleNamespace(
+            DWTForward=None, DWTInverse=None)
+    return _load("ref_cifar_diffusion", REF / "diff_cifar" / "diffusion.py")
+
+
+@pytest.fixture(scope="module")
+def ref_vp():
+    sys.path.insert(0, str(REF / "diff_mnist"))
+    try:
+        import torch_ddpm.ddpm.diffusion as mod  # noqa: F401
+    finally:
+        sys.path.pop(0)
+    return mod
+
+
+class _TorchDummy(torch.nn.Module):
+    """Deterministic stand-in model, mirrored exactly by :func:`_jax_dummy`."""
+
+    def forward(self, x, t, n_levels_used=None):
+        tt = t.reshape(-1).float()
+        return torch.tanh(x) * (0.5 + 0.01 * tt.view(-1, 1, 1, 1))
+
+
+def _jax_dummy(x, t, n_levels_used=None):
+    tt = jnp.reshape(t, (-1,)).astype(jnp.float32)
+    return jnp.tanh(x) * (0.5 + 0.01 * tt[:, None, None, None])
+
+
+@pytest.mark.parametrize("mean_type", ["xprev", "xstart", "epsilon"])
+@pytest.mark.parametrize("var_type", ["fixedlarge", "fixedsmall"])
+def test_ddpm_sampler_matches_reference_execution(
+        ref_cifar_diffusion, monkeypatch, mean_type, var_type):
+    """Full T-step ancestral sampler, zero noise: our lax.scan sampler must
+    reproduce the reference GaussianDiffusionSampler.forward trajectory for
+    every mean/var parameterization (diff_cifar/diffusion.py:169-222)."""
+    T = 8
+    x_T = np.random.default_rng(0).standard_normal((2, 3, 8, 8)) \
+        .astype(np.float32)
+
+    # construct as 'epsilon' then set the attribute: the reference ctor
+    # assert has a missing comma (['xprev' 'xstart', 'epsilon'],
+    # diffusion.py:97) so 'xprev'/'xstart' cannot be passed directly.
+    sampler = ref_cifar_diffusion.GaussianDiffusionSampler(
+        _TorchDummy(), beta_1=1e-4, beta_T=0.2, T=T,
+        mean_type="epsilon", var_type=var_type)
+    sampler.mean_type = mean_type
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    with torch.no_grad():
+        ref_out = sampler(torch.from_numpy(x_T), n_levels_used=4).numpy()
+
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype))
+    sched = diffusion.DDPMSchedule.create(beta_1=1e-4, beta_T=0.2, T=T)
+    ours = diffusion.ddpm_sample(_jax_dummy, sched, jax.random.PRNGKey(0),
+                                 jnp.asarray(x_T), n_levels_used=4,
+                                 mean_type=mean_type, var_type=var_type)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_ddpm_schedule_buffers_match_reference(ref_cifar_diffusion):
+    T = 1000
+    sampler = ref_cifar_diffusion.GaussianDiffusionSampler(
+        _TorchDummy(), beta_1=1e-4, beta_T=0.02, T=T, mean_type="epsilon")
+    sched = diffusion.DDPMSchedule.create(beta_1=1e-4, beta_T=0.02, T=T)
+    for ref_name, ours in [
+            ("betas", sched.betas),
+            ("sqrt_recip_alphas_bar", sched.sqrt_recip_alphas_bar),
+            ("sqrt_recipm1_alphas_bar", sched.sqrt_recipm1_alphas_bar),
+            ("posterior_mean_coef1", sched.posterior_mean_coef1),
+            ("posterior_mean_coef2", sched.posterior_mean_coef2),
+            ("posterior_log_var_clipped", sched.posterior_log_var_clipped)]:
+        ref_buf = getattr(sampler, ref_name).numpy()
+        # torch.linspace computes the beta grid in float32 before the
+        # .double() cast; ours is float64 end-to-end — hence the loose rtol.
+        np.testing.assert_allclose(np.asarray(ours), ref_buf, rtol=5e-4,
+                                   atol=1e-6, err_msg=ref_name)
+
+
+def test_vp_reverse_sampler_matches_reference_execution(ref_vp, monkeypatch):
+    """VP reverse SDE sampler (torch_ddpm/ddpm/diffusion.py:7-38,136-174),
+    zero noise, N=6 steps."""
+    N = 6
+    x_T = np.random.default_rng(1).standard_normal((2, 3, 8, 8)) \
+        .astype(np.float32)
+    ref = ref_vp.Diffusion(beta_min=0.1, beta_max=2.0, N=N, eps=1e-3, T=1.0)
+
+    def ref_score_fn(x, t, n_levels_used=-1):
+        return _TorchDummy()(x, t), None
+
+    monkeypatch.setattr(
+        torch, "randn", lambda shape: torch.zeros(shape))
+    with torch.no_grad():
+        ref_x, ref_mean = ref.reverse_sample(torch.from_numpy(x_T),
+                                             ref_score_fn)
+
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype))
+    vp = diffusion.VPDiffusion.create(beta_min=0.1, beta_max=2.0, N=N,
+                                      eps=1e-3, T=1.0)
+    x, x_mean = vp.reverse_sample(_jax_dummy, jax.random.PRNGKey(0),
+                                  jnp.asarray(x_T))
+    np.testing.assert_allclose(np.asarray(x), ref_x.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_mean), ref_mean.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_vp_loss_matches_reference_execution(ref_vp):
+    rng = np.random.default_rng(2)
+    ref = ref_vp.Diffusion(beta_min=0.1, beta_max=2.0, N=10,
+                           multi_res_loss=True)
+    vp = diffusion.VPDiffusion.create(beta_min=0.1, beta_max=2.0, N=10,
+                                      multi_res_loss=True)
+    outs = [rng.standard_normal((2, 1, r, r)).astype(np.float32)
+            for r in (8, 16)]
+    noises = [rng.standard_normal((2, 1, r, r)).astype(np.float32)
+              for r in (8, 16)]
+    ref_loss, ref_list = ref.loss([torch.from_numpy(o) for o in outs],
+                                  [torch.from_numpy(z) for z in noises],
+                                  last_loss_schedule_weight=0.7)
+    loss, llist = vp.loss([jnp.asarray(o) for o in outs],
+                          [jnp.asarray(z) for z in noises],
+                          last_loss_schedule_weight=0.7)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(llist, ref_list):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_vp_forward_noising_matches_reference_buffers(ref_vp):
+    ref = ref_vp.Diffusion(beta_min=0.1, beta_max=2.0, N=16)
+    vp = diffusion.VPDiffusion.create(beta_min=0.1, beta_max=2.0, N=16)
+    # float32 torch.linspace grid vs our float64 — loose rtol (see above)
+    np.testing.assert_allclose(np.asarray(vp.sqrt_alphas_cumprod),
+                               ref.sqrt_alphas_cumprod.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vp.sqrt_1m_alphas_cumprod),
+                               ref.sqrt_1m_alphas_cumprod.numpy(), rtol=1e-4)
+
+
+def test_create_data2d_matches_reference_execution():
+    ref_utils = _load("ref_pde_data_utils",
+                      REF / "pdearena" / "pdearena" / "data" / "utils.py")
+    rng = np.random.default_rng(3)
+    # reference layout (T, C, H, W) scalar / vector split
+    u = rng.standard_normal((10, 1, 6, 6)).astype(np.float32)
+    v = rng.standard_normal((10, 2, 6, 6)).astype(np.float32)
+    for time_history, time_future, time_gap, start in [
+            (4, 1, 0, 0), (2, 2, 1, 3), (1, 1, 0, 5)]:
+        ref_x, ref_y = ref_utils.create_data2D(
+            1, 1, 1, 1, torch.from_numpy(u), torch.from_numpy(v), None,
+            start, time_history, time_future, time_gap)
+        ours_x, ours_y = pde_data.create_data2d(
+            1, 1, 1, 1,
+            np.transpose(u, (0, 2, 3, 1)), np.transpose(v, (0, 2, 3, 1)),
+            start, time_history, time_future, time_gap)
+        # ours is (1, T, H, W, C); reference is (1, T, C, H, W)
+        np.testing.assert_allclose(np.transpose(ours_x, (0, 1, 4, 2, 3)),
+                                   ref_x.numpy(), rtol=1e-6)
+        np.testing.assert_allclose(np.transpose(ours_y, (0, 1, 4, 2, 3)),
+                                   ref_y.numpy(), rtol=1e-6)
+
+
+def test_pde_losses_match_reference_execution():
+    ref_loss = _load("ref_pde_loss",
+                     REF / "pdearena" / "pdearena" / "modules" / "loss.py")
+    rng = np.random.default_rng(4)
+    pred = rng.standard_normal((2, 3, 8, 8, 2)).astype(np.float32)
+    tgt = rng.standard_normal((2, 3, 8, 8, 2)).astype(np.float32)
+    # reference layout (B, T, C, H, W)
+    tp = torch.from_numpy(np.transpose(pred, (0, 1, 4, 2, 3)))
+    tt = torch.from_numpy(np.transpose(tgt, (0, 1, 4, 2, 3)))
+    ref_sl = ref_loss.ScaledLpLoss()(tp, tt)
+    ours_sl = losses.scaledlp_loss(jnp.asarray(pred), jnp.asarray(tgt))
+    np.testing.assert_allclose(float(ours_sl), float(ref_sl), rtol=1e-5)
+    ref_mse = ref_loss.CustomMSELoss()(tp, tt)
+    ours_mse = losses.custom_mse_loss(jnp.asarray(pred), jnp.asarray(tgt))
+    np.testing.assert_allclose(float(ours_mse), float(ref_mse), rtol=1e-5)
