@@ -204,6 +204,82 @@ def test_create_data2d_matches_reference_execution():
                                    ref_y.numpy(), rtol=1e-6)
 
 
+def _t2f_conv(w):
+    """torch Conv2d weight (O, I, kh, kw) -> flax kernel (kh, kw, I, O)."""
+    return jnp.asarray(np.transpose(w.numpy(), (2, 3, 1, 0)))
+
+
+def _t2f_tconv(w):
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, I, O); torch cross-correlates the *output* grid so the
+    kernel is spatially flipped relative to flax (probed numerically)."""
+    return jnp.asarray(
+        np.transpose(w.numpy()[:, :, ::-1, ::-1].copy(), (2, 3, 0, 1)))
+
+
+def _convblock_from_torch(sd, prefix):
+    return {
+        "Conv_0": {"kernel": _t2f_conv(sd[f"{prefix}.conv1.weight"]),
+                   "bias": jnp.asarray(sd[f"{prefix}.conv1.bias"].numpy())},
+        "Conv_1": {"kernel": _t2f_conv(sd[f"{prefix}.conv2.weight"]),
+                   "bias": jnp.asarray(sd[f"{prefix}.conv2.bias"].numpy())},
+        "GroupNorm_0": {"GroupNorm_0": {
+            "scale": jnp.asarray(sd[f"{prefix}.norm1.weight"].numpy()),
+            "bias": jnp.asarray(sd[f"{prefix}.norm1.bias"].numpy())}},
+        "GroupNorm_1": {"GroupNorm_0": {
+            "scale": jnp.asarray(sd[f"{prefix}.norm2.weight"].numpy()),
+            "bias": jnp.asarray(sd[f"{prefix}.norm2.bias"].numpy())}},
+    }
+
+
+def test_unetbase_full_forward_matches_reference_execution():
+    """FULL Unetbase forward parity: the reference model's trained-shape
+    parameters are transplanted into our flax Unetbase and both are run on
+    the same input (twod_unetbase.py:60-141) — this is the model behind the
+    headline fwd benchmark."""
+    if "pytorch_wavelets" not in sys.modules:
+        sys.modules["pytorch_wavelets"] = types.SimpleNamespace(
+            DWTForward=None, DWTInverse=None)
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_unetbase as ref_mod
+    finally:
+        sys.path.pop(0)
+
+    from unet_design_tpu.models import unetbase
+
+    torch.manual_seed(0)
+    ref = ref_mod.Unetbase(1, 1, 1, 1, time_history=2, time_future=1,
+                           hidden_channels=8, activation="gelu")
+    ref.eval()
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = unetbase.Unetbase(n_output_fields=3, time_future=1,
+                             hidden_channels=8, activation="gelu")
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+
+    sd = ref.state_dict()
+    new = {"image_proj": _convblock_from_torch(sd, "image_proj"),
+           "final": {"kernel": _t2f_conv(sd["final.weight"]),
+                     "bias": jnp.asarray(sd["final.bias"].numpy())}}
+    for i in range(4):
+        new[f"down_{i}"] = _convblock_from_torch(sd, f"down.{i}.conv")
+        new[f"up_{i}"] = _convblock_from_torch(sd, f"up.{i}.conv")
+        new[f"up_{i}_tconv"] = {"ConvTranspose_0": {
+            "kernel": _t2f_tconv(sd[f"up.{i}.up.weight"]),
+            "bias": jnp.asarray(sd[f"up.{i}.up.bias"].numpy())}}
+    # exact same tree structure as the random init
+    jax.tree_util.tree_map(lambda a, b: None, params, new)
+
+    y = ours.apply({"params": new}, x_nhwc)
+    y_nchw = np.transpose(np.asarray(y), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(y_nchw, ref_out, rtol=1e-4, atol=1e-4)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
