@@ -27,6 +27,22 @@ from unet_design_tpu.data import pde as pde_data
 from unet_design_tpu.process import diffusion, losses
 
 
+class _FakeDWT:
+    """pytorch_wavelets stand-in: constructible (DTWBlock instantiates it
+    unconditionally) but never callable in the code paths under test."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError("DWT path should not execute in this test")
+
+
+def _stub_wavelets():
+    sys.modules["pytorch_wavelets"] = types.SimpleNamespace(
+        DWTForward=_FakeDWT, DWTInverse=_FakeDWT)
+
+
 def _load(name, path):
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
@@ -39,9 +55,7 @@ def _load(name, path):
 def ref_cifar_diffusion():
     # diff_cifar/diffusion.py imports pytorch_wavelets at module level but the
     # sampler/trainer construction paths under test never touch it.
-    if "pytorch_wavelets" not in sys.modules:
-        sys.modules["pytorch_wavelets"] = types.SimpleNamespace(
-            DWTForward=None, DWTInverse=None)
+    _stub_wavelets()
     return _load("ref_cifar_diffusion", REF / "diff_cifar" / "diffusion.py")
 
 
@@ -237,9 +251,7 @@ def test_unetbase_full_forward_matches_reference_execution():
     parameters are transplanted into our flax Unetbase and both are run on
     the same input (twod_unetbase.py:60-141) — this is the model behind the
     headline fwd benchmark."""
-    if "pytorch_wavelets" not in sys.modules:
-        sys.modules["pytorch_wavelets"] = types.SimpleNamespace(
-            DWTForward=None, DWTInverse=None)
+    _stub_wavelets()
     sys.path.insert(0, str(REF / "pdearena"))
     try:
         import pdearena.modules.twod_unetbase as ref_mod
@@ -277,6 +289,114 @@ def test_unetbase_full_forward_matches_reference_execution():
 
     y = ours.apply({"params": new}, x_nhwc)
     y_nchw = np.transpose(np.asarray(y), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(y_nchw, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def _t2f_lin(w):
+    """torch Linear weight (out, in) -> flax Dense kernel (in, out)."""
+    return jnp.asarray(w.numpy().T)
+
+
+def _gn_from_torch(sd, prefix):
+    return {"GroupNorm_0": {"scale": jnp.asarray(sd[f"{prefix}.weight"].numpy()),
+                            "bias": jnp.asarray(sd[f"{prefix}.bias"].numpy())}}
+
+
+def _conv_from_torch(sd, prefix):
+    return {"kernel": _t2f_conv(sd[f"{prefix}.weight"]),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"].numpy())}
+
+
+def _ddpm_resblock_from_torch(sd, prefix):
+    out = {
+        "GroupNorm_0": _gn_from_torch(sd, f"{prefix}.block1.0"),
+        "Conv_0": _conv_from_torch(sd, f"{prefix}.block1.2"),
+        "temb_proj": {"kernel": _t2f_lin(sd[f"{prefix}.temb_proj.1.weight"]),
+                      "bias": jnp.asarray(
+                          sd[f"{prefix}.temb_proj.1.bias"].numpy())},
+        "GroupNorm_1": _gn_from_torch(sd, f"{prefix}.block2.0"),
+        "Conv_1": _conv_from_torch(sd, f"{prefix}.block2.3"),
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        out["shortcut"] = _conv_from_torch(sd, f"{prefix}.shortcut")
+    if f"{prefix}.attn.proj_q.weight" in sd:
+        out["DDPMAttnBlock_0"] = {
+            "GroupNorm_0": _gn_from_torch(sd, f"{prefix}.attn.group_norm"),
+            "Conv_0": _conv_from_torch(sd, f"{prefix}.attn.proj_q"),
+            "Conv_1": _conv_from_torch(sd, f"{prefix}.attn.proj_k"),
+            "Conv_2": _conv_from_torch(sd, f"{prefix}.attn.proj_v"),
+            "Conv_3": _conv_from_torch(sd, f"{prefix}.attn.proj"),
+        }
+    return out
+
+
+def test_multires_unet_full_forward_matches_reference_execution(
+        ref_cifar_model=None):
+    """FULL UNetWaveletEnc forward parity (diff_cifar/model.py:326-496): the
+    reference flagship DDPM U-Net's parameters are transplanted into our
+    MultiResUNet and both run on identical (x, t) — per-level time
+    embeddings, ResBlocks with temb injection, single-head attention,
+    down/up-sampling, and tail heads all verified at once."""
+    _stub_wavelets()
+    ref_model_mod = _load("ref_cifar_model", REF / "diff_cifar" / "model.py")
+    from unet_design_tpu.models.multires_unet import MultiResUNet
+
+    torch.manual_seed(1)
+    T, ch, ch_mult, n_res = 10, 32, [1, 2], 1
+    ref = ref_model_mod.UNetWaveletEnc(T=T, ch=ch, ch_mult=ch_mult, attn=[1],
+                                       num_res_blocks=n_res, dropout=0.0)
+    ref.eval()
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    t = np.array([3, 7], np.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    ours = MultiResUNet(ch=ch, ch_mult=tuple(ch_mult), attn=(1,),
+                        num_res_blocks=n_res, dropout=0.0)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    tj = jnp.asarray(t, jnp.int32)
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc, tj)["params"]
+
+    sd = ref.state_dict()
+    new = {}
+    for lvl in range(len(ch_mult)):
+        new[f"time_emb_{lvl}"] = {
+            "Dense_0": {
+                "kernel": _t2f_lin(
+                    sd[f"time_embedding_list.{lvl}.timembedding.1.weight"]),
+                "bias": jnp.asarray(
+                    sd[f"time_embedding_list.{lvl}.timembedding.1.bias"]
+                    .numpy())},
+            "Dense_1": {
+                "kernel": _t2f_lin(
+                    sd[f"time_embedding_list.{lvl}.timembedding.3.weight"]),
+                "bias": jnp.asarray(
+                    sd[f"time_embedding_list.{lvl}.timembedding.3.bias"]
+                    .numpy())},
+        }
+        for i in range(n_res):
+            new[f"down_{lvl}_{i}"] = _ddpm_resblock_from_torch(
+                sd, f"downblocks.{lvl}.{i}")
+        if lvl != len(ch_mult) - 1:
+            new[f"down_{lvl}_downsample"] = {"Conv_0": _conv_from_torch(
+                sd, f"downblocks.{lvl}.{n_res}.main")}
+        for j in range(n_res + 1):
+            new[f"up_{lvl}_{j}"] = _ddpm_resblock_from_torch(
+                sd, f"upblocks.{lvl}.{j}")
+        if lvl != 0:
+            new[f"up_{lvl}_upsample"] = {"Conv_0": _conv_from_torch(
+                sd, f"upblocks.{lvl}.{n_res + 1}.main")}
+        new[f"tail_{lvl}"] = {
+            "GroupNorm_0": _gn_from_torch(sd, f"tail_list.{lvl}.0"),
+            "Conv_0": _conv_from_torch(sd, f"tail_list.{lvl}.2"),
+        }
+    new["middle_0"] = _ddpm_resblock_from_torch(sd, "middleblocks.0")
+    new["middle_1"] = _ddpm_resblock_from_torch(sd, "middleblocks.1")
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc, tj)
+    y_nchw = np.transpose(np.asarray(y), (0, 3, 1, 2))
     np.testing.assert_allclose(y_nchw, ref_out, rtol=1e-4, atol=1e-4)
 
 
