@@ -400,6 +400,85 @@ def test_multires_unet_full_forward_matches_reference_execution(
     np.testing.assert_allclose(y_nchw, ref_out, rtol=1e-4, atol=1e-4)
 
 
+def test_lr_schedule_matches_reference_execution():
+    """LinearWarmupCosineAnnealingLR stepped per-epoch (the chainable form
+    Lightning uses, lr_scheduler.py:41-77) vs our optax schedule."""
+    ref_sched_mod = _load("ref_lr_scheduler",
+                          REF / "pdearena" / "pdearena" / "lr_scheduler.py")
+    from unet_design_tpu.train import schedules
+
+    base_lr, warmup, max_epochs, eta_min = 2e-4, 5, 50, 1e-7
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    ref = ref_sched_mod.LinearWarmupCosineAnnealingLR(
+        opt, warmup_epochs=warmup, max_epochs=max_epochs, eta_min=eta_min)
+    ours = schedules.linear_warmup_cosine_annealing(
+        base_lr, warmup, max_epochs, eta_min=eta_min, steps_per_epoch=1)
+    for epoch in range(max_epochs):
+        ref_lr = ref.get_last_lr()[0]
+        np.testing.assert_allclose(float(ours(epoch)), ref_lr, rtol=1e-5,
+                                   atol=1e-10, err_msg=f"epoch {epoch}")
+        opt.step()
+        ref.step()
+
+
+def test_rollout2d_matches_reference_execution():
+    """Autoregressive rollout window semantics (rollout.py:12-54) with a
+    deterministic dummy model, incl. time_history > time_future overlap."""
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.rollout as ref_rollout
+        from pdearena.data.utils import PDEDataConfig
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.process import rollout as our_rollout
+
+    tf = 1
+
+    class _TorchStep(torch.nn.Module):
+        def forward(self, x, n_levels_used=None):
+            return torch.tanh(x[:, -tf:]) * 0.9 + 0.05
+
+    def jax_step(x):
+        return jnp.tanh(x[:, -tf:]) * 0.9 + 0.05
+
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal((2, 6, 1, 5, 5)).astype(np.float32)  # (B,T,C,H,W)
+    v = rng.standard_normal((2, 6, 2, 5, 5)).astype(np.float32)
+    pde_cfg = PDEDataConfig(1, 1, 6, 2)
+    for time_history in (1, 3):
+        with torch.no_grad():
+            ref_traj = ref_rollout.rollout2d(
+                _TorchStep(), torch.from_numpy(u), torch.from_numpy(v), None,
+                pde_cfg, time_history, num_steps=4,
+                n_levels_used=None).numpy()
+        ours = our_rollout.rollout2d(
+            jax_step, jnp.asarray(np.transpose(u, (0, 1, 3, 4, 2))),
+            jnp.asarray(np.transpose(v, (0, 1, 3, 4, 2))),
+            time_history=time_history, num_steps=4)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(ours), (0, 1, 4, 2, 3)), ref_traj,
+            rtol=1e-5, atol=1e-6)
+
+
+def test_openai_timestep_embedding_matches_reference_execution():
+    """timestep_embedding (torch_ddpm unet/layers.py:101) vs ours."""
+    sys.path.insert(0, str(REF / "diff_mnist"))
+    try:
+        import torch_ddpm.ddpm.models.unet.layers as ref_layers
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.ops import embeddings
+
+    t = np.array([0.0, 1.0, 17.5, 999.0], np.float32)
+    for dim in (16, 32, 31):
+        ref_emb = ref_layers.timestep_embedding(
+            torch.from_numpy(t), dim).numpy()
+        ours = embeddings.openai_timestep_embedding(jnp.asarray(t), dim)
+        np.testing.assert_allclose(np.asarray(ours), ref_emb, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"dim {dim}")
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
