@@ -479,6 +479,44 @@ def test_openai_timestep_embedding_matches_reference_execution():
                                    atol=1e-5, err_msg=f"dim {dim}")
 
 
+def test_wmh_unetbase_g_full_forward_matches_reference_execution():
+    """FULL wmh Unetbase_G forward parity (wmh/model.py:165-296) on a
+    non-dyadic 104x104 grid — the odd 13->6 boundary at level 3 exercises the
+    reference's replicate-pad special case, which our generic _match_spatial
+    must reproduce exactly.  AvgPool down, interpolate_nearest up, sigmoid
+    tail, parameters transplanted."""
+    _stub_wavelets()
+    ref_mod = _load("ref_wmh_model", REF / "wmh" / "model.py")
+    from unet_design_tpu.models.unetbase import WMHSegUnet
+
+    torch.manual_seed(2)
+    ref = ref_mod.Unetbase_G(hidden_channels=4, activation="gelu")
+    ref.eval()
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 2, 104, 104)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = WMHSegUnet(hidden_channels=4, activation="gelu")
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+
+    sd = ref.state_dict()
+    core = {"image_proj_0": _convblock_from_torch(sd, "image_proj_list.0"),
+            "final_3": _conv_from_torch(sd, "final_list.3.0")}
+    for i in range(4):
+        core[f"down_{i}"] = _convblock_from_torch(sd, f"down.{i}.conv")
+        core[f"up_{i}"] = _convblock_from_torch(sd, f"up.{i}.conv")
+        core[f"up_{i}_chconv"] = _conv_from_torch(
+            sd, f"up.{i}.up_conv_channel_dim")
+    new = {"core": core}
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc)
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref_out, rtol=1e-4, atol=1e-5)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
