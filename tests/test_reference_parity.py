@@ -345,6 +345,17 @@ def test_multires_unet_full_forward_matches_reference_execution(
     T, ch, ch_mult, n_res = 10, 32, [1, 2], 1
     ref = ref_model_mod.UNetWaveletEnc(T=T, ch=ch, ch_mult=ch_mult, attn=[1],
                                        num_res_blocks=n_res, dropout=0.0)
+    # re-randomize at O(1): the reference's gain-1e-5 tail/attn/block2 inits
+    # make raw outputs ~1e-5, which would let atol swallow real mismatches
+    # (this is exactly how the strided-conv 'SAME' misalignment initially
+    # slipped past this test)
+    gen = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            # keep the fixed sinusoidal tables (Embedding.from_pretrained is
+            # still a parameter) — our side computes them analytically
+            if "timembedding.0" not in name:
+                p.normal_(0.0, 0.1, generator=gen)
     ref.eval()
     rng = np.random.default_rng(6)
     x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
@@ -515,6 +526,127 @@ def test_wmh_unetbase_g_full_forward_matches_reference_execution():
     y = ours.apply({"params": new}, x_nhwc)
     np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
                                ref_out, rtol=1e-4, atol=1e-5)
+
+
+def _modern_resblock_from_torch(sd, prefix):
+    out = {
+        "GroupNorm_0": _gn_from_torch(sd, f"{prefix}.norm1"),
+        "Conv_0": _conv_from_torch(sd, f"{prefix}.conv1"),
+        "GroupNorm_1": _gn_from_torch(sd, f"{prefix}.norm2"),
+        "Conv_1": _conv_from_torch(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        out["shortcut"] = _conv_from_torch(sd, f"{prefix}.shortcut")
+    return out
+
+
+def _c2ri(w):
+    """Reference SpectralConv2d weights are already real-pair
+    (in, out, m1, m2, 2) — same layout as ours (fourier.py:93-97)."""
+    return jnp.asarray(w.numpy())
+
+
+def _fourier_resblock_from_torch(sd, prefix):
+    out = {
+        "GroupNorm_0": _gn_from_torch(sd, f"{prefix}.norm1"),
+        "GroupNorm_1": _gn_from_torch(sd, f"{prefix}.norm2"),
+        "conv1": _conv_from_torch(sd, f"{prefix}.conv1"),
+        "conv2": _conv_from_torch(sd, f"{prefix}.conv2"),
+        "fourier1": {"weights1": _c2ri(sd[f"{prefix}.fourier1.weights1"]),
+                     "weights2": _c2ri(sd[f"{prefix}.fourier1.weights2"])},
+        "fourier2": {"weights1": _c2ri(sd[f"{prefix}.fourier2.weights1"]),
+                     "weights2": _c2ri(sd[f"{prefix}.fourier2.weights2"])},
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        out["shortcut"] = _conv_from_torch(sd, f"{prefix}.shortcut")
+    return out
+
+
+def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0):
+    """Map the reference modern-Unet flat ModuleLists onto our named tree."""
+    sd = ref.state_dict()
+    new = {"image_proj": _conv_from_torch(sd, "image_proj"),
+           "final": _conv_from_torch(sd, "final"),
+           "GroupNorm_0": _gn_from_torch(sd, "norm"),
+           "middle_res1": _modern_resblock_from_torch(sd, "middle.res1"),
+           "middle_res2": _modern_resblock_from_torch(sd, "middle.res2")}
+    n_res = len(ch_mults)
+    idx = our = 0
+    for lvl in range(n_res):
+        for _ in range(n_blocks):
+            if lvl < fourier_down:
+                new[f"down_{our}"] = _fourier_resblock_from_torch(
+                    sd, f"down.{idx}.res")
+            else:
+                new[f"down_{our}"] = _modern_resblock_from_torch(
+                    sd, f"down.{idx}.res")
+            idx += 1
+            our += 1
+        if lvl < n_res - 1:
+            new[f"downsample_{lvl}"] = _conv_from_torch(sd,
+                                                        f"down.{idx}.conv")
+            idx += 1
+    idx = our = 0
+    for lvl in reversed(range(n_res)):
+        for _ in range(n_blocks + 1):
+            new[f"up_{our}"] = _modern_resblock_from_torch(sd,
+                                                           f"up.{idx}.res")
+            idx += 1
+            our += 1
+        if lvl > 0:
+            new[f"upsample_{lvl}"] = {"ConvTranspose_0": {
+                "kernel": _t2f_tconv(sd[f"up.{idx}.conv.weight"]),
+                "bias": jnp.asarray(sd[f"up.{idx}.conv.bias"].numpy())}}
+            idx += 1
+    return new
+
+
+@pytest.mark.parametrize("n_fourier_layers", [0, 1])
+def test_modern_unet_full_forward_matches_reference_execution(
+        n_fourier_layers):
+    """FULL modern Unet / FourierUnet forward parity (twod_unet.py:389-551,
+    724-901): wide ResBlocks, strided-conv down, ConvTranspose(4,2,1) up,
+    pre-norm final — and with n_fourier_layers=1, FourierResidualBlocks whose
+    SpectralConv2d runs on our truncated-DFT matmul path against the
+    reference's complex-einsum FFT implementation."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_unet as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.modern_unet import ModernUnet
+
+    torch.manual_seed(3)
+    ch_mults, n_blocks = (1, 2), 1
+    kw = dict(time_history=2, time_future=1, hidden_channels=8,
+              activation="gelu", norm=True, ch_mults=ch_mults,
+              is_attn=(False, False), n_blocks=n_blocks)
+    if n_fourier_layers:
+        ref = ref_mod.FourierUnet(1, 1, 1, 1, modes1=4, modes2=4,
+                                  n_fourier_layers=1, mode_scaling=False,
+                                  **kw)
+    else:
+        ref = ref_mod.Unet(1, 1, 1, 1, **kw)
+    ref.eval()
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = ModernUnet(n_output_fields=3, time_future=1, hidden_channels=8,
+                      ch_mults=ch_mults, n_blocks=n_blocks, norm=True,
+                      activation="gelu", n_fourier_layers=n_fourier_layers,
+                      modes1=4, modes2=4, mode_scaling=False)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+    new = _modern_unet_params_from_torch(ref, ch_mults, n_blocks,
+                                         fourier_down=n_fourier_layers)
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc)
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 1, 4, 2, 3)),
+                               ref_out, rtol=1e-4, atol=1e-4)
 
 
 def test_pde_losses_match_reference_execution():

@@ -118,7 +118,10 @@ class ModernUnet(nn.Module):
                 bidx += 1
                 hs.append(h)
             if i < n_res - 1:
-                h = nn.Conv(in_ch, (3, 3), strides=(2, 2), dtype=self.dtype,
+                # (1,1) padding matches torch Conv2d(3, stride=2, padding=1)
+                # alignment ('SAME' would pad (0,1) on even inputs)
+                h = nn.Conv(in_ch, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
                             name=f"downsample_{i}")(h)
                 hs.append(h)
 

@@ -305,8 +305,10 @@ class _DownsampleOpenAI(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_conv:
+            # (1,1) padding matches torch conv_nd(3, stride=2, padding=1)
+            # alignment ('SAME' would pad (0,1) on even inputs)
             return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
-                           dtype=self.dtype)(x)
+                           padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 

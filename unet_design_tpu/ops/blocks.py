@@ -297,8 +297,11 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.method == "conv":
+            # explicit (1,1) padding: flax 'SAME' pads (0,1) on even inputs,
+            # a half-pixel misalignment vs the reference's torch padding=1
+            # (caught by the transplant parity tests)
             return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
-                           dtype=self.dtype,
+                           padding=((1, 1), (1, 1)), dtype=self.dtype,
                            kernel_init=xavier_uniform_scaled())(x)
         if self.method == "avg_pool":
             return nn.avg_pool(x, (2, 2), strides=(2, 2))
