@@ -649,6 +649,151 @@ def test_modern_unet_full_forward_matches_reference_execution(
                                ref_out, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("block", ["basic", "dilated", "fourier"])
+def test_pde_resnet_full_forward_matches_reference_execution(block):
+    """FULL ResNet trunk forward parity (twod_resnet.py:169-309) for all
+    three block types — Basic, Dilated (1-2-4-8-4-2-1), and FourierBasic
+    (spectral + 1x1, exercising the truncated-DFT path) — incl. the pad-9
+    asymmetric trunk padding."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_resnet as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.resnet import PDEResNet
+
+    torch.manual_seed(4)
+    class _Fourier4(ref_mod.FourierBasicBlock):
+        def __init__(self, in_planes, planes, stride=1, **kw):
+            super().__init__(in_planes, planes, stride, modes1=4, modes2=4,
+                             **kw)
+
+    cls = {"basic": ref_mod.BasicBlock, "dilated": ref_mod.DilatedBasicBlock,
+           "fourier": _Fourier4}[block]
+    norm = block != "fourier"
+    ref = ref_mod.ResNet(1, 1, 1, 1, block=cls, num_blocks=[1, 1],
+                         time_history=2, time_future=1, hidden_channels=8,
+                         activation="gelu", norm=norm)
+    ref.eval()
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, 2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = PDEResNet(n_output_fields=3, time_future=1, hidden_channels=8,
+                     block=block, num_blocks=[1, 1], activation="gelu",
+                     norm=norm, modes1=4, modes2=4)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+
+    sd = ref.state_dict()
+    new = {f"conv_{w}": _conv_from_torch(sd, f"conv_{w}")
+           for w in ("in1", "in2", "out1", "out2")}
+    for i in range(2):
+        pre = f"layers.{i}.0"
+        if block == "basic":
+            new[f"block_{i}"] = {
+                "GroupNorm_0": _gn_from_torch(sd, f"{pre}.bn1"),
+                "conv1": _conv_from_torch(sd, f"{pre}.conv1"),
+                "GroupNorm_1": _gn_from_torch(sd, f"{pre}.bn2"),
+                "conv2": _conv_from_torch(sd, f"{pre}.conv2"),
+            }
+        elif block == "dilated":
+            new[f"block_{i}"] = {}
+            for k in range(7):
+                new[f"block_{i}"][f"conv_{k}"] = _conv_from_torch(
+                    sd, f"{pre}.dilation_layers.{k}")
+                new[f"block_{i}"][f"GroupNorm_{k}"] = _gn_from_torch(
+                    sd, f"{pre}.norm_layers.{k}")
+        else:
+            new[f"block_{i}"] = {
+                "fourier1": {
+                    "weights1": _c2ri(sd[f"{pre}.fourier1.weights1"]),
+                    "weights2": _c2ri(sd[f"{pre}.fourier1.weights2"])},
+                "fourier2": {
+                    "weights1": _c2ri(sd[f"{pre}.fourier2.weights1"]),
+                    "weights2": _c2ri(sd[f"{pre}.fourier2.weights2"])},
+                "conv1": _conv_from_torch(sd, f"{pre}.conv1"),
+                "conv2": _conv_from_torch(sd, f"{pre}.conv2"),
+            }
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc)
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 1, 4, 2, 3)),
+                               ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_unet2015_full_forward_matches_reference_execution():
+    """FULL Unet2015 forward parity (twod_unet2015.py:23-143): bias-free
+    convs + BatchNorm blocks (running stats transplanted into batch_stats),
+    MaxPool down, ConvTranspose(2,2) up."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_unet2015 as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.unet2015 import Unet2015
+
+    torch.manual_seed(5)
+    ref = ref_mod.Unet2015(1, 1, 1, 1, time_history=2, time_future=1,
+                           hidden_channels=4, activation="gelu")
+    # give the BN running stats non-trivial values
+    gen = torch.Generator().manual_seed(12)
+    with torch.no_grad():
+        for name, b in ref.named_buffers():
+            if "running_mean" in name:
+                b.normal_(0.0, 0.5, generator=gen)
+            elif "running_var" in name:
+                b.uniform_(0.5, 2.0, generator=gen)
+    ref.eval()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = Unet2015(n_output_fields=3, time_future=1, hidden_channels=4,
+                    activation="gelu")
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    variables = ours.init(jax.random.PRNGKey(0), x_nhwc)
+
+    sd = {**ref.state_dict()}
+    names = {"encoder1": "enc1", "encoder2": "enc2", "encoder3": "enc3",
+             "encoder4": "enc4", "bottleneck": "bottleneck",
+             "decoder4": "dec4", "decoder3": "dec3", "decoder2": "dec2",
+             "decoder1": "dec1"}
+    params = {"conv": _conv_from_torch(sd, "conv")}
+    stats = {}
+    for mod, short in names.items():
+        params[mod] = {}
+        stats[mod] = {}
+        for k in (1, 2):
+            params[mod][f"conv{k}"] = {
+                "kernel": _t2f_conv(sd[f"{mod}.{short}conv{k}.weight"])}
+            params[mod][f"norm{k}"] = {
+                "scale": jnp.asarray(sd[f"{mod}.{short}norm{k}.weight"]
+                                     .numpy()),
+                "bias": jnp.asarray(sd[f"{mod}.{short}norm{k}.bias"]
+                                    .numpy())}
+            stats[mod][f"norm{k}"] = {
+                "mean": jnp.asarray(sd[f"{mod}.{short}norm{k}.running_mean"]
+                                    .numpy()),
+                "var": jnp.asarray(sd[f"{mod}.{short}norm{k}.running_var"]
+                                   .numpy())}
+    for k in (1, 2, 3, 4):
+        params[f"upconv{k}"] = {"ConvTranspose_0": {
+            "kernel": _t2f_tconv(sd[f"upconv{k}.weight"]),
+            "bias": jnp.asarray(sd[f"upconv{k}.bias"].numpy())}}
+    jax.tree_util.tree_map(lambda a, b: None, variables["params"], params)
+    jax.tree_util.tree_map(lambda a, b: None, variables["batch_stats"],
+                           stats)
+
+    y = ours.apply({"params": params, "batch_stats": stats}, x_nhwc)
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 1, 4, 2, 3)),
+                               ref_out, rtol=1e-4, atol=1e-4)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
