@@ -73,8 +73,10 @@ def test_baseline_unet_model():
     variables = m.init(RNG, x, t)
     out = m.apply(variables, x, t)
     assert out.shape == (2, 16, 16, 1)
-    # zero-init final conv => output exactly zero at init
-    np.testing.assert_allclose(np.asarray(out), 0.0)
+    # the fork's head is a default-init 1x1 out_reduce_channels
+    # (unet.py:187-192), not the original zero-init 3x3 conv -> nonzero
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.abs(out).max()) > 0.0
 
 
 def test_score_network_vector_and_image():

@@ -794,6 +794,97 @@ def test_unet2015_full_forward_matches_reference_execution():
                                ref_out, rtol=1e-4, atol=1e-4)
 
 
+def _openai_resblock_from_torch(sd, prefix):
+    out = {
+        "GroupNorm_0": _gn_from_torch(sd, f"{prefix}.in_layers.0"),
+        "Conv_0": _conv_from_torch(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": {"kernel": _t2f_lin(sd[f"{prefix}.emb_layers.1.weight"]),
+                     "bias": jnp.asarray(
+                         sd[f"{prefix}.emb_layers.1.bias"].numpy())},
+        "GroupNorm_1": _gn_from_torch(sd, f"{prefix}.out_layers.0"),
+        "out_conv": _conv_from_torch(sd, f"{prefix}.out_layers.3"),
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        out["skip"] = _conv_from_torch(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _openai_attn_from_torch(sd, prefix):
+    def lin1d(name):
+        w = sd[f"{prefix}.{name}.weight"].numpy()  # conv1d (O, I, 1)
+        return {"kernel": jnp.asarray(w[:, :, 0].T),
+                "bias": jnp.asarray(sd[f"{prefix}.{name}.bias"].numpy())}
+    return {"GroupNorm_0": _gn_from_torch(sd, f"{prefix}.norm"),
+            "qkv": lin1d("qkv"), "proj_out": lin1d("proj_out")}
+
+
+def test_openai_unetmodel_full_forward_matches_reference_execution():
+    """FULL OpenAI-style UNetModel forward parity (torch_ddpm unet/unet.py):
+    scale-shift-capable ResBlocks, QKV attention (1/sqrt(sqrt(d)) double
+    scaling), nearest-upsample+conv, strided-conv downsample, GN32."""
+    sys.path.insert(0, str(REF / "diff_mnist"))
+    try:
+        import torch_ddpm.ddpm.models.unet.unet as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.openai_unet import UNetModel
+
+    torch.manual_seed(6)
+    ref = ref_mod.UNetModel(
+        in_channels=3, model_channels=32, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), dropout=0.0, channel_mult=(1, 2),
+        num_heads=4, use_scale_shift_norm=True)
+    # re-randomize at O(1): zero_module() zeroes every out_conv/proj_out
+    gen = torch.Generator().manual_seed(13)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.1, generator=gen)
+    ref.eval()
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    t = np.array([3.0, 7.0], np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    ours = UNetModel(in_channels=3, model_channels=32, out_channels=3,
+                     num_res_blocks=1, attention_resolutions=(2,),
+                     channel_mult=(1, 2), num_heads=4, dropout=0.0)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    tj = jnp.asarray(t)
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc, tj)["params"]
+
+    sd = ref.state_dict()
+    new = {
+        "Dense_0": {"kernel": _t2f_lin(sd["time_embed.0.weight"]),
+                    "bias": jnp.asarray(sd["time_embed.0.bias"].numpy())},
+        "Dense_1": {"kernel": _t2f_lin(sd["time_embed.2.weight"]),
+                    "bias": jnp.asarray(sd["time_embed.2.bias"].numpy())},
+        "in_conv": _conv_from_torch(sd, "input_blocks.0.0"),
+        "enc_0": _openai_resblock_from_torch(sd, "input_blocks.1.0"),
+        "down_0": {"Conv_0": _conv_from_torch(sd, "input_blocks.2.0.op")},
+        "enc_1": _openai_resblock_from_torch(sd, "input_blocks.3.0"),
+        "enc_1_attn": _openai_attn_from_torch(sd, "input_blocks.3.1"),
+        "mid_0": _openai_resblock_from_torch(sd, "middle_block.0"),
+        "mid_attn": _openai_attn_from_torch(sd, "middle_block.1"),
+        "mid_1": _openai_resblock_from_torch(sd, "middle_block.2"),
+        "dec_0": _openai_resblock_from_torch(sd, "output_blocks.0.0"),
+        "dec_0_attn": _openai_attn_from_torch(sd, "output_blocks.0.1"),
+        "dec_1": _openai_resblock_from_torch(sd, "output_blocks.1.0"),
+        "dec_1_attn": _openai_attn_from_torch(sd, "output_blocks.1.1"),
+        "up_1": {"Conv_0": _conv_from_torch(sd, "output_blocks.1.2.conv")},
+        "dec_2": _openai_resblock_from_torch(sd, "output_blocks.2.0"),
+        # output_blocks.3 exists in the fork's state dict but its forward
+        # never executes it (unet.py:242-246 truncation) -- no counterpart
+        "GroupNorm_0": _gn_from_torch(sd, "out.0"),
+        "out_conv": _conv_from_torch(sd, "out_reduce_channels"),
+    }
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc, tj)
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref_out, rtol=1e-4, atol=1e-4)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")

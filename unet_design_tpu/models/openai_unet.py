@@ -390,9 +390,17 @@ class UNetModel(nn.Module):
                                   dtype=self.dtype, name="mid_1")(h, emb,
                                                                   train=train)
 
+        # NOTE: the fork's forward slices
+        # ``output_blocks[:n_levels * (num_res_blocks+1) - 1]``
+        # (unet.py:242-246) — the LAST decoder ResBlock never runs and the
+        # first skip (the in_conv activation) is never consumed.  Replicated
+        # here for execution parity with the fork.
+        n_dec = len(self.channel_mult) * (self.num_res_blocks + 1) - 1
         bi = 0
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(self.num_res_blocks + 1):
+                if bi >= n_dec:
+                    break
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 ch = int(mc * mult)
                 h = blocks.OpenAIResBlock(
@@ -409,10 +417,12 @@ class UNetModel(nn.Module):
                                     dtype=self.dtype,
                                     name=f"up_{level}")(h)
                 ds //= 2
-        assert not hs
+        assert len(hs) == 1  # in_conv skip, unconsumed in the fork
         h = nn.silu(blocks.GroupNorm(32)(h))
-        return nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
-                       kernel_init=blocks.zeros_init, name="out_conv")(h)
+        # the fork replaces the original zero-init 3x3 out conv with a 1x1
+        # ``out_reduce_channels`` (torch_ddpm/ddpm/models/unet/unet.py:187-192)
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                       name="out_conv")(h)
 
 
 class MLP(nn.Module):
