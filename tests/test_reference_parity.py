@@ -885,6 +885,90 @@ def test_openai_unetmodel_full_forward_matches_reference_execution():
                                ref_out, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("multi_res_loss", [False, True])
+def test_unet_wavelet_full_forward_matches_reference_execution(
+        multi_res_loss):
+    """FULL diff_mnist UNet_wavelet forward parity (mnist_diff/unet.py:75-556)
+    with transplanted parameters: per-level time embeddings, channel-tiling
+    head, per-level out_activation/out_reduce heads, the forced
+    model_out_passed_on channel re-injection (unet.py:457,484-510), and
+    multi-res output lists."""
+    _stub_wavelets()
+    if "wandb" not in sys.modules:
+        sys.modules["wandb"] = types.ModuleType("wandb")
+    sys.path.insert(0, str(REF / "diff_mnist"))
+    try:
+        import mnist_diff.unet as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.openai_unet import WaveletUNetOpenAI
+
+    torch.manual_seed(7)
+    ref = ref_mod.UNet_wavelet(
+        in_channels=1, model_channels=16, out_channels=1, num_res_blocks=1,
+        attention_resolutions=(2,), dropout=0.0, channel_mult=(2, 2),
+        num_heads=4, use_scale_shift_norm=True, multi_res_loss=multi_res_loss)
+    gen = torch.Generator().manual_seed(14)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.1, generator=gen)
+    ref.eval()
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 1, 16, 16)).astype(np.float32)
+    t = np.array([0.3, 0.7], np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.from_numpy(x), torch.from_numpy(t))
+
+    ours = WaveletUNetOpenAI(
+        in_channels=1, model_channels=16, out_channels=1, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(2, 2), num_heads=4,
+        dropout=0.0, multi_res_loss=multi_res_loss)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    tj = jnp.asarray(t)
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc, tj)["params"]
+
+    sd = ref.state_dict()
+    new = {}
+    for lvl in range(2):
+        new[f"time_embed_{lvl}"] = {
+            "Dense_0": {"kernel": _t2f_lin(sd[f"time_embed_list.{lvl}.0.weight"]),
+                        "bias": jnp.asarray(
+                            sd[f"time_embed_list.{lvl}.0.bias"].numpy())},
+            "Dense_1": {"kernel": _t2f_lin(sd[f"time_embed_list.{lvl}.2.weight"]),
+                        "bias": jnp.asarray(
+                            sd[f"time_embed_list.{lvl}.2.bias"].numpy())}}
+        new[f"out_act_{lvl}"] = {
+            "GroupNorm_0": _gn_from_torch(sd, f"out_activation_list.{lvl}.0")}
+        new[f"out_reduce_{lvl}"] = _conv_from_torch(
+            sd, f"out_reduce_channels_list.{lvl}")
+    new["enc_0_0"] = _openai_resblock_from_torch(sd, "input_blocks.1.0")
+    new["enc_0_down"] = {"Conv_0": _conv_from_torch(sd, "input_blocks.2.0.op")}
+    new["enc_1_0"] = _openai_resblock_from_torch(sd, "input_blocks.3.0")
+    new["enc_1_0_attn"] = _openai_attn_from_torch(sd, "input_blocks.3.1")
+    new["middle_0"] = _openai_resblock_from_torch(sd, "middle_block.0")
+    new["middle_attn"] = _openai_attn_from_torch(sd, "middle_block.1")
+    new["middle_1"] = _openai_resblock_from_torch(sd, "middle_block.2")
+    for j in range(2):
+        new[f"dec_1_{j}"] = _openai_resblock_from_torch(sd, f"out_f_list.1.{j}.0")
+        new[f"dec_1_{j}_attn"] = _openai_attn_from_torch(sd, f"out_f_list.1.{j}.1")
+        new[f"dec_0_{j}"] = _openai_resblock_from_torch(sd, f"out_f_list.0.{j}.0")
+    new["dec_1_up"] = {"Conv_0": _conv_from_torch(
+        sd, "out_upsample_list.1.0.0.conv")}
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc, tj)
+    if multi_res_loss:
+        assert isinstance(y, (list, tuple)) and len(y) == len(ref_out)
+        for yo, ro in zip(y, ref_out):
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(yo), (0, 3, 1, 2)), ro.numpy(),
+                rtol=1e-4, atol=1e-4)
+    else:
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(y), (0, 3, 1, 2)), ref_out.numpy(),
+            rtol=1e-4, atol=1e-4)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
