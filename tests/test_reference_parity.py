@@ -969,6 +969,56 @@ def test_unet_wavelet_full_forward_matches_reference_execution(
             rtol=1e-4, atol=1e-4)
 
 
+def test_cond_fourier_embedding_matches_reference_execution():
+    """fourier_embedding (condition_utils.py:17-36): cos-then-sin order,
+    half=dim//2 frequencies, odd-dim zero padding."""
+    ref_mod = _load("ref_condition_utils",
+                    REF / "pdearena" / "pdearena" / "modules" / "conditioned"
+                    / "condition_utils.py")
+    from unet_design_tpu.ops import embeddings
+
+    t = np.array([0.0, 1.0, 2.5, 100.0], np.float32)
+    for dim in (16, 31):
+        ref = ref_mod.fourier_embedding(torch.from_numpy(t), dim).numpy()
+        ours = embeddings.fourier_embedding(jnp.asarray(t), dim)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5,
+                                   atol=1e-6, err_msg=f"dim {dim}")
+
+
+def test_cond_spectral_conv2d_matches_reference_execution():
+    """Conditioned SpectralConv2d (fourier_cond.py:13-80) with transplanted
+    FreqLinear + mode weights — per-mode complex scaling of the truncated
+    spectrum, on our truncated-DFT matmul path."""
+    ref_mod = _load("ref_fourier_cond",
+                    REF / "pdearena" / "pdearena" / "modules" / "conditioned"
+                    / "fourier_cond.py")
+    from unet_design_tpu.ops import spectral
+
+    torch.manual_seed(8)
+    m1 = m2 = 4
+    ref = ref_mod.SpectralConv2d(5, 3, cond_channels=6, modes1=m1, modes2=m2)
+    ref.eval()
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal((2, 5, 16, 16)).astype(np.float32)
+    emb = rng.standard_normal((2, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(emb)).numpy()
+
+    ours = spectral.CondSpectralConv2d(out_channels=3, modes1=m1, modes2=m2)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    ej = jnp.asarray(emb)
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc, ej)["params"]
+    sd = ref.state_dict()
+    new = {"weights1": _c2ri(sd["weights1"]),
+           "weights2": _c2ri(sd["weights2"]),
+           "freq_weights": jnp.asarray(sd["cond_emb.weights"].numpy()),
+           "freq_bias": jnp.asarray(sd["cond_emb.bias"].numpy()[0])}
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+    y = ours.apply({"params": new}, x_nhwc, ej)
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               ref_out, rtol=1e-4, atol=1e-5)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")

@@ -43,12 +43,17 @@ def openai_timestep_embedding(t: jnp.ndarray, dim: int,
 
 def fourier_embedding(t: jnp.ndarray, dim: int,
                       max_period: float = 10000.0) -> jnp.ndarray:
-    """[sin | cos] embedding used by pdearena's conditioned models.
+    """[cos | sin] embedding used by pdearena's conditioned models.
 
-    Mirrors ``fourier_embedding`` (``conditioned/condition_utils.py:17-30``).
+    Mirrors ``fourier_embedding`` (``conditioned/condition_utils.py:17-36``):
+    cos first, then sin, with a zero column appended for odd ``dim``
+    (execution-parity-tested against the reference).
     """
     half = dim // 2
     freqs = jnp.exp(-math.log(max_period)
                     * jnp.arange(half, dtype=jnp.float32) / half)
     args = t.astype(jnp.float32)[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
