@@ -1019,6 +1019,109 @@ def test_cond_spectral_conv2d_matches_reference_execution():
                                ref_out, rtol=1e-4, atol=1e-5)
 
 
+def _cond_resblock_from_torch(sd, prefix):
+    out = {
+        "GroupNorm_0": _gn_from_torch(sd, f"{prefix}.norm1"),
+        "GroupNorm_1": _gn_from_torch(sd, f"{prefix}.norm2"),
+        "conv1": _conv_from_torch(sd, f"{prefix}.conv1"),
+        "conv2": _conv_from_torch(sd, f"{prefix}.conv2"),
+        "cond_emb": {"kernel": _t2f_lin(sd[f"{prefix}.cond_emb.weight"]),
+                     "bias": jnp.asarray(
+                         sd[f"{prefix}.cond_emb.bias"].numpy())},
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        out["shortcut"] = _conv_from_torch(sd, f"{prefix}.shortcut")
+    return out
+
+
+@pytest.mark.parametrize("use_scale_shift_norm", [False, True])
+def test_cond_modern_unet_full_forward_matches_reference_execution(
+        use_scale_shift_norm):
+    """FULL conditioned modern Unet forward parity
+    (conditioned/twod_unet.py:488-705): fourier time + scalar-param
+    embeddings, additive or adaGN (scale-shift) conditioning in every wide
+    ResBlock, transplanted parameters."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.conditioned.twod_unet as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.conditioned.modern_unet import CondModernUnet
+
+    torch.manual_seed(9)
+    ch_mults, n_blocks = (1, 2), 1
+    ref = ref_mod.Unet(1, 1, 1, 1, time_history=1, time_future=1,
+                       hidden_channels=8, activation="gelu", norm=True,
+                       ch_mults=ch_mults, is_attn=(False, False),
+                       n_blocks=n_blocks, param_conditioning="scalar",
+                       use_scale_shift_norm=use_scale_shift_norm)
+    # re-randomize at O(1): zero_module() zeroes conv2/final
+    gen = torch.Generator().manual_seed(15)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.1, generator=gen)
+    ref.eval()
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((2, 1, 3, 16, 16)).astype(np.float32)
+    t = np.array([2.0, 5.0], np.float32)
+    z = np.array([0.5, 1.5], np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t),
+                      torch.from_numpy(z)).numpy()
+
+    ours = CondModernUnet(n_output_fields=3, time_future=1,
+                          hidden_channels=8, ch_mults=ch_mults,
+                          n_blocks=n_blocks, norm=True, activation="gelu",
+                          param_conditioning="scalar",
+                          use_scale_shift_norm=use_scale_shift_norm)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc, jnp.asarray(t),
+                       jnp.asarray(z))["params"]
+
+    sd = ref.state_dict()
+    new = {"image_proj": _conv_from_torch(sd, "image_proj"),
+           "final": _conv_from_torch(sd, "final"),
+           "GroupNorm_0": _gn_from_torch(sd, "norm"),
+           "middle_res1": _cond_resblock_from_torch(sd, "middle.res1"),
+           "middle_res2": _cond_resblock_from_torch(sd, "middle.res2")}
+    for which, ref_name in [("time_embed", "time_embed"),
+                            ("pde_emb", "pde_emb")]:
+        for j, ref_idx in [(1, 0), (2, 2)]:
+            new[f"{which}_{j}"] = {
+                "kernel": _t2f_lin(sd[f"{ref_name}.{ref_idx}.weight"]),
+                "bias": jnp.asarray(
+                    sd[f"{ref_name}.{ref_idx}.bias"].numpy())}
+    n_res = len(ch_mults)
+    idx = our = 0
+    for lvl in range(n_res):
+        for _ in range(n_blocks):
+            new[f"down_{our}"] = _cond_resblock_from_torch(sd,
+                                                           f"down.{idx}.res")
+            idx += 1
+            our += 1
+        if lvl < n_res - 1:
+            new[f"downsample_{lvl}"] = _conv_from_torch(sd,
+                                                        f"down.{idx}.conv")
+            idx += 1
+    idx = our = 0
+    for lvl in reversed(range(n_res)):
+        for _ in range(n_blocks + 1):
+            new[f"up_{our}"] = _cond_resblock_from_torch(sd, f"up.{idx}.res")
+            idx += 1
+            our += 1
+        if lvl > 0:
+            new[f"upsample_{lvl}"] = {"ConvTranspose_0": {
+                "kernel": _t2f_tconv(sd[f"up.{idx}.conv.weight"]),
+                "bias": jnp.asarray(sd[f"up.{idx}.conv.bias"].numpy())}}
+            idx += 1
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc, jnp.asarray(t), jnp.asarray(z))
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 1, 4, 2, 3)),
+                               ref_out, rtol=1e-4, atol=1e-4)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
