@@ -562,7 +562,8 @@ def _fourier_resblock_from_torch(sd, prefix):
     return out
 
 
-def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0):
+def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0,
+                                   fourier_up=0):
     """Map the reference modern-Unet flat ModuleLists onto our named tree."""
     sd = ref.state_dict()
     new = {"image_proj": _conv_from_torch(sd, "image_proj"),
@@ -588,9 +589,16 @@ def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0):
             idx += 1
     idx = our = 0
     for lvl in reversed(range(n_res)):
-        for _ in range(n_blocks + 1):
-            new[f"up_{our}"] = _modern_resblock_from_torch(sd,
-                                                           f"up.{idx}.res")
+        for j in range(n_blocks + 1):
+            # AltFourierUnet: the n_blocks same-width up blocks are Fourier
+            # for lvl < fourier_up levels; the channel-reducing final block
+            # of each level stays a plain UpBlock (twod_unet.py:676)
+            if j < n_blocks and lvl < fourier_up:
+                new[f"up_{our}"] = _fourier_resblock_from_torch(
+                    sd, f"up.{idx}.res")
+            else:
+                new[f"up_{our}"] = _modern_resblock_from_torch(
+                    sd, f"up.{idx}.res")
             idx += 1
             our += 1
         if lvl > 0:
@@ -601,9 +609,10 @@ def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0):
     return new
 
 
-@pytest.mark.parametrize("n_fourier_layers", [0, 1])
+@pytest.mark.parametrize("n_fourier_layers,fourier_up",
+                         [(0, False), (1, False), (1, True)])
 def test_modern_unet_full_forward_matches_reference_execution(
-        n_fourier_layers):
+        n_fourier_layers, fourier_up):
     """FULL modern Unet / FourierUnet forward parity (twod_unet.py:389-551,
     724-901): wide ResBlocks, strided-conv down, ConvTranspose(4,2,1) up,
     pre-norm final — and with n_fourier_layers=1, FourierResidualBlocks whose
@@ -622,7 +631,11 @@ def test_modern_unet_full_forward_matches_reference_execution(
     kw = dict(time_history=2, time_future=1, hidden_channels=8,
               activation="gelu", norm=True, ch_mults=ch_mults,
               is_attn=(False, False), n_blocks=n_blocks)
-    if n_fourier_layers:
+    if fourier_up:
+        ref = ref_mod.AltFourierUnet(1, 1, 1, 1, modes1=4, modes2=4,
+                                     n_fourier_layers=1, mode_scaling=False,
+                                     **kw)
+    elif n_fourier_layers:
         ref = ref_mod.FourierUnet(1, 1, 1, 1, modes1=4, modes2=4,
                                   n_fourier_layers=1, mode_scaling=False,
                                   **kw)
@@ -637,11 +650,13 @@ def test_modern_unet_full_forward_matches_reference_execution(
     ours = ModernUnet(n_output_fields=3, time_future=1, hidden_channels=8,
                       ch_mults=ch_mults, n_blocks=n_blocks, norm=True,
                       activation="gelu", n_fourier_layers=n_fourier_layers,
+                      fourier_up=fourier_up,
                       modes1=4, modes2=4, mode_scaling=False)
     x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
     params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
-    new = _modern_unet_params_from_torch(ref, ch_mults, n_blocks,
-                                         fourier_down=n_fourier_layers)
+    new = _modern_unet_params_from_torch(
+        ref, ch_mults, n_blocks, fourier_down=n_fourier_layers,
+        fourier_up=n_fourier_layers if fourier_up else 0)
     jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
 
     y = ours.apply({"params": new}, x_nhwc)
