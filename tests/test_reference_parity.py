@@ -1137,6 +1137,44 @@ def test_cond_modern_unet_full_forward_matches_reference_execution(
                                ref_out, rtol=1e-4, atol=1e-4)
 
 
+def test_wmh_metrics_match_reference_math():
+    """WMH challenge metrics vs the reference formulas (evaluation.py:191-284)
+    re-expressed with scipy in place of SimpleITK: scipy dice complement,
+    fully-connected components for lesion recall/precision/F1, volume-sum
+    AVD.  Random 3D masks, seeds chosen so both masks have lesions."""
+    import scipy.ndimage
+    import scipy.spatial.distance
+    from unet_design_tpu.evalx import wmh_metrics
+
+    rng = np.random.default_rng(16)
+    test = rng.random((4, 20, 20)) > 0.8
+    result = rng.random((4, 20, 20)) > 0.8
+
+    ref_dsc = 1.0 - scipy.spatial.distance.dice(test.flatten(),
+                                                result.flatten())
+    np.testing.assert_allclose(wmh_metrics.dsc(test, result), ref_dsc,
+                               rtol=1e-10)
+
+    # ccFilter.SetFullyConnected(True) == 3x3x3 structuring element
+    struct = np.ones((3, 3, 3), bool)
+    cc_test, n_test = scipy.ndimage.label(test, structure=struct)
+    cc_result, n_result = scipy.ndimage.label(result, structure=struct)
+    l_result = cc_test * result
+    n_detected = len(np.unique(l_result)) - 1
+    ref_recall = n_detected / n_test
+    ref_precision = n_detected / n_result
+    ref_f1 = 2 * ref_precision * ref_recall / (ref_precision + ref_recall)
+    recall, precision, f1 = wmh_metrics.lesion_detection(test, result)
+    np.testing.assert_allclose([recall, precision, f1],
+                               [ref_recall, ref_precision, ref_f1],
+                               rtol=1e-10)
+
+    ref_avd = abs(float(test.sum()) - float(result.sum())) \
+        / float(test.sum()) * 100.0
+    np.testing.assert_allclose(wmh_metrics.avd(test, result), ref_avd,
+                               rtol=1e-10)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
