@@ -159,3 +159,33 @@ def test_ddim_sampler_runs():
     out2 = diff.ddim_sample(_dummy_model(), sch, RNG, x_T, 3, n_steps=5,
                             eta=0.5)
     assert out2.shape == x_T.shape
+
+
+def test_dpm_solver_converges_faster_than_ddim():
+    """DPM-Solver++(2M) is a 2nd-order solver of the same probability-flow
+    ODE that DDIM (eta=0) solves at 1st order: at equal step count its error
+    vs a fine DDIM reference must be much smaller."""
+    sched = diffusion.DDPMSchedule.create(T=1000)
+    alphas_bar = sched.sqrt_alphas_bar ** 2
+    s2 = 0.25  # data variance: the exact eps model for x0 ~ N(0, s2 I)
+
+    def eps_model(x, t, n_levels_used=None):
+        ab = alphas_bar[t][:, None, None, None]
+        return jnp.sqrt(1.0 - ab) * x / (s2 * ab + (1.0 - ab))
+
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 1))
+    # PF-ODE solution for the linear score is exact: marginal-std rescaling
+    ab_T = alphas_bar[-1]
+    exact = jnp.sqrt(s2) / jnp.sqrt(s2 * ab_T + (1.0 - ab_T)) * x_T
+    kw = dict(n_levels_used=1, clip=False)
+    ddim16 = diffusion.ddim_sample(eps_model, sched, jax.random.PRNGKey(1),
+                                   x_T, n_steps=16, eta=0.0, **kw)
+    dpm16 = diffusion.dpm_solver_sample(eps_model, sched, x_T, n_steps=16,
+                                        **kw)
+    dpm64 = diffusion.dpm_solver_sample(eps_model, sched, x_T, n_steps=64,
+                                        **kw)
+    err_ddim16 = float(jnp.abs(ddim16 - exact).max())
+    err_dpm16 = float(jnp.abs(dpm16 - exact).max())
+    err_dpm64 = float(jnp.abs(dpm64 - exact).max())
+    assert err_dpm16 < 0.25 * err_ddim16, (err_dpm16, err_ddim16)
+    assert err_dpm64 < 0.25 * err_dpm16, (err_dpm64, err_dpm16)  # 2nd order

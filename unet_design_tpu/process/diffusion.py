@@ -219,6 +219,79 @@ def ddim_sample(model_fn: ModelFn, schedule: DDPMSchedule, rng: jax.Array,
     return jnp.clip(x0, -1.0, 1.0) if clip else x0
 
 
+def dpm_solver_sample(model_fn: ModelFn, schedule: DDPMSchedule,
+                      x_T: jnp.ndarray, n_levels_used: int,
+                      n_steps: int = 20, multi_res_loss: bool = False,
+                      clip: bool = True) -> jnp.ndarray:
+    """DPM-Solver++(2M) sampler (data-prediction multistep, deterministic).
+
+    Beyond-reference capability: a second-order probability-flow-ODE solver
+    over an ``n_steps`` sub-sequence of the discrete schedule — reaches the
+    quality of many-step DDIM in ~2-4x fewer model calls (convergence-order
+    tested).  One ``lax.scan``; no noise is injected.
+
+    Update (lambda = log(alpha/sigma), h_i = lambda_{i+1} - lambda_i):
+      D_i = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1},  r_i = h_{i-1}/h_i
+      x_{i+1} = (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} (e^{-h_i} - 1) D_i
+    with a first-order first step and x_final = D on the jump to clean data.
+    """
+    T = schedule.T
+    alphas_bar = schedule.sqrt_alphas_bar ** 2
+    nd = x_T.ndim
+
+    def lam_of(ab):
+        return 0.5 * (jnp.log(ab) - jnp.log1p(-ab))
+
+    # logSNR-uniform timestep selection (the official DPM-Solver skip_type):
+    # equal lambda intervals keep the multistep extrapolation well-scaled,
+    # unlike t-uniform steps whose last lambda interval is huge
+    lam_all = lam_of(alphas_bar)
+    targets = jnp.linspace(lam_all[T - 1], lam_all[0], n_steps)
+    ts = jnp.argmin(jnp.abs(lam_all[None, :] - targets[:, None]), axis=1)
+    ts = jnp.sort(ts)[::-1].astype(jnp.int32)  # descending; a duplicated t
+    # would make a harmless h~0 no-op step (coef -> 0, x_next -> x)
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1])])
+
+    def body(carry, inputs):
+        x, x0_prev, lam_prev, is_first = carry
+        t, t_prev = inputs
+        tb = jnp.full((x_T.shape[0],), t, jnp.int32)
+        out = model_fn(x, tb, n_levels_used)
+        if multi_res_loss:
+            out = out[-1]
+        ab_t = _extract(alphas_bar, tb, nd)
+        sig_t = jnp.sqrt(1.0 - ab_t)
+        x0 = (x - sig_t * out) / jnp.sqrt(ab_t)
+        if clip:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        lam_t = lam_of(ab_t)
+
+        ab_next = jnp.where(t_prev >= 0,
+                            alphas_bar[jnp.maximum(t_prev, 0)], 1.0)
+        ab_next = jnp.broadcast_to(ab_next, ab_t.shape)
+        lam_next = lam_of(jnp.minimum(ab_next, 1.0 - 1e-12))
+        h = lam_next - lam_t
+        h_last = lam_t - lam_prev
+        r = h_last / jnp.maximum(h, 1e-12)
+        coef = 1.0 / (2.0 * jnp.maximum(r, 1e-12))
+        # degrade to first order when the previous lambda interval is
+        # degenerate (duplicated discrete timestep at coarse-step counts):
+        # the h/(2*h_last) extrapolation would amplify rounding noise
+        coef = jnp.where(h_last < 1e-4, 0.0, coef)
+        d = jnp.where(is_first, x0, (1.0 + coef) * x0 - coef * x0_prev)
+        x_next = (jnp.sqrt(1.0 - ab_next) / sig_t * x
+                  - jnp.sqrt(ab_next) * (jnp.exp(-h) - 1.0) * d)
+        # lower_order_final: the 2M extrapolation diverges as h -> inf on the
+        # terminal jump to clean data; use the first-order result there
+        x_next = jnp.where(t_prev >= 0, x_next, x0)
+        return (x_next, x0, lam_t, jnp.zeros_like(is_first)), None
+
+    lam0 = jnp.zeros((x_T.shape[0],) + (1,) * (nd - 1), x_T.dtype)
+    carry0 = (x_T, jnp.zeros_like(x_T), lam0, jnp.ones((), bool))
+    (x0, _, _, _), _ = jax.lax.scan(body, carry0, (ts, ts_prev))
+    return jnp.clip(x0, -1.0, 1.0) if clip else x0
+
+
 # ----------------------------------------------------------------------------
 # Continuous-time VP diffusion (diff_mnist)
 # ----------------------------------------------------------------------------

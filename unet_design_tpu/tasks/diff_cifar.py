@@ -52,6 +52,10 @@ class DiffusionConfig:
     T: int = 1000
     mean_type: str = "epsilon"
     var_type: str = "fixedlarge"
+    # beyond reference: 'ddpm' (full ancestral scan, reference parity),
+    # 'ddim' (sub-sequence), or 'dpm_solver' (2nd-order, fewest steps)
+    sampler: str = "ddpm"
+    sample_steps: int = 50       # for ddim / dpm_solver
 
 
 @dataclasses.dataclass
@@ -107,10 +111,23 @@ def make_sampler(cfg: Config, model: MultiResUNet, sch: diffusion.DDPMSchedule,
                  n_levels_used: int):
     """One jitted full-scan ancestral sampler for a given level count."""
 
+    kind = cfg.diffusion.sampler
+
     @jax.jit
     def sampler(params, rng, x_T):
         def model_fn(x, t, n):
             return model.apply({"params": params}, x, t, n_levels_used=n)
+        if kind == "ddim":
+            return diffusion.ddim_sample(
+                model_fn, sch, rng, x_T, n_levels_used,
+                n_steps=cfg.diffusion.sample_steps,
+                multi_res_loss=cfg.model.multi_res_loss)
+        if kind == "dpm_solver":
+            return diffusion.dpm_solver_sample(
+                model_fn, sch, x_T, n_levels_used,
+                n_steps=cfg.diffusion.sample_steps,
+                multi_res_loss=cfg.model.multi_res_loss)
+        assert kind == "ddpm", kind
         return diffusion.ddpm_sample(
             model_fn, sch, rng, x_T, n_levels_used,
             mean_type=cfg.diffusion.mean_type,
