@@ -59,7 +59,7 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray,
             use_torch_style = False
     if not use_torch_style:
         import scipy.linalg
-        covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+        covmean = np.asarray(scipy.linalg.sqrtm(sigma1 @ sigma2))
         if not np.isfinite(covmean).all():
             offset = np.eye(sigma1.shape[0]) * eps
             covmean = scipy.linalg.sqrtm(

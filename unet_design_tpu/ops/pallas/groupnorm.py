@@ -81,7 +81,7 @@ def fused_groupnorm_act(x: jnp.ndarray, scale: jnp.ndarray,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
