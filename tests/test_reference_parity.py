@@ -1175,6 +1175,76 @@ def test_wmh_metrics_match_reference_math():
                                rtol=1e-10)
 
 
+def test_unetbase_gradients_match_reference_execution():
+    """FULL backward-pass parity: transplant reference Unetbase parameters,
+    compute an identical MSE loss on identical inputs, and compare every
+    parameter gradient between torch autograd and jax.grad."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_unetbase as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models import unetbase
+
+    torch.manual_seed(10)
+    ref = ref_mod.Unetbase(1, 1, 1, 1, time_history=2, time_future=1,
+                           hidden_channels=8, activation="gelu")
+    ref.train()
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 2, 3, 16, 16)).astype(np.float32)
+    y = rng.standard_normal((2, 1, 3, 16, 16)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    loss_t = ((ref(xt) - torch.from_numpy(y)) ** 2).mean()
+    loss_t.backward()
+
+    ours = unetbase.Unetbase(n_output_fields=3, time_future=1,
+                             hidden_channels=8, activation="gelu")
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    y_nhwc = jnp.asarray(np.transpose(y, (0, 1, 3, 4, 2)))
+    sd = ref.state_dict()
+    params = {"image_proj": _convblock_from_torch(sd, "image_proj"),
+              "final": {"kernel": _t2f_conv(sd["final.weight"]),
+                        "bias": jnp.asarray(sd["final.bias"].numpy())}}
+    for i in range(4):
+        params[f"down_{i}"] = _convblock_from_torch(sd, f"down.{i}.conv")
+        params[f"up_{i}"] = _convblock_from_torch(sd, f"up.{i}.conv")
+        params[f"up_{i}_tconv"] = {"ConvTranspose_0": {
+            "kernel": _t2f_tconv(sd[f"up.{i}.up.weight"]),
+            "bias": jnp.asarray(sd[f"up.{i}.up.bias"].numpy())}}
+
+    def loss_fn(p):
+        pred = ours.apply({"params": p}, x_nhwc)
+        return jnp.mean((pred - y_nhwc) ** 2)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), loss_t.item(), rtol=1e-5)
+
+    def check(ours_g, ref_name, conv=False, tconv=False):
+        g = ref.get_parameter(ref_name).grad.numpy()
+        if conv:
+            g = np.transpose(g, (2, 3, 1, 0))
+        if tconv:
+            g = np.transpose(g[:, :, ::-1, ::-1], (2, 3, 0, 1))
+        np.testing.assert_allclose(np.asarray(ours_g), g, rtol=1e-3,
+                                   atol=1e-5, err_msg=ref_name)
+
+    check(grads["final"]["kernel"], "final.weight", conv=True)
+    check(grads["image_proj"]["Conv_0"]["kernel"], "image_proj.conv1.weight",
+          conv=True)
+    check(grads["image_proj"]["GroupNorm_0"]["GroupNorm_0"]["scale"],
+          "image_proj.norm1.weight")
+    for i in range(4):
+        check(grads[f"down_{i}"]["Conv_0"]["kernel"],
+              f"down.{i}.conv.conv1.weight", conv=True)
+        check(grads[f"down_{i}"]["Conv_1"]["bias"],
+              f"down.{i}.conv.conv2.bias")
+        check(grads[f"up_{i}"]["Conv_0"]["kernel"],
+              f"up.{i}.conv.conv1.weight", conv=True)
+        check(grads[f"up_{i}_tconv"]["ConvTranspose_0"]["kernel"],
+              f"up.{i}.up.weight", tconv=True)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
