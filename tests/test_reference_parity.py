@@ -1245,6 +1245,47 @@ def test_unetbase_gradients_match_reference_execution():
               f"up.{i}.up.weight", tconv=True)
 
 
+def test_optimizer_chain_matches_torch_execution():
+    """Our optax chain (clip-by-global-norm -> Adam with warmup schedule)
+    vs torch Adam + clip_grad_norm_ + warmup LambdaLR, stepped identically
+    for 6 steps on fixed synthetic gradients — the exact diff_cifar recipe
+    (main.py:374-377,425-428: clip 1.0, warmup lambda min(step,w)/w, with
+    scheduler.step() after optimizer.step())."""
+    from unet_design_tpu.train import schedules, trainer as trainer_lib
+
+    rng = np.random.default_rng(18)
+    p0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) * (2.0 + i)
+             for i in range(6)]
+    base_lr, warmup, clip = 2e-4, 3, 1.0
+
+    pt = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.Adam([pt], lr=base_lr)
+    sched_t = torch.optim.lr_scheduler.LambdaLR(
+        opt, lr_lambda=lambda step: min(step, warmup) / warmup)
+    for g in grads:
+        opt.zero_grad()
+        pt.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([pt], max_norm=clip)
+        opt.step()
+        sched_t.step()
+
+    tx = trainer_lib.make_optimizer(
+        schedules.warmup_lr(base_lr, warmup), grad_clip=clip)
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax_apply(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               pt.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def optax_apply(params, updates):
+    import optax
+    return optax.apply_updates(params, updates)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
