@@ -1286,6 +1286,38 @@ def optax_apply(params, updates):
     return optax.apply_updates(params, updates)
 
 
+def test_ema_matches_reference_execution():
+    """EMA update parity (diff_cifar/main.py:57-77): frozen params (grad is
+    None in torch; mask=False here) are skipped, others blend at decay."""
+    from unet_design_tpu.train import ema as ema_lib
+
+    rng = np.random.default_rng(19)
+    src = torch.nn.ParameterDict({
+        "a": torch.nn.Parameter(torch.from_numpy(
+            rng.standard_normal((3, 3)).astype(np.float32))),
+        "b": torch.nn.Parameter(torch.from_numpy(
+            rng.standard_normal((4,)).astype(np.float32)))})
+    tgt = torch.nn.ParameterDict({
+        k: torch.nn.Parameter(v.detach().clone() + 1.0)
+        for k, v in src.items()})
+    src["a"].grad = torch.ones_like(src["a"])  # 'a' trainable, 'b' frozen
+    decay = 0.9
+
+    for (ps, pt) in zip(src.values(), tgt.values()):
+        if ps.grad is not None:
+            pt.data.copy_(pt.data * decay + ps.data * (1 - decay))
+
+    ema0 = {"a": jnp.asarray(src["a"].detach().numpy()) + 1.0,
+            "b": jnp.asarray(src["b"].detach().numpy()) + 1.0}
+    new = {k: jnp.asarray(v.detach().numpy()) for k, v in src.items()}
+    mask = {"a": True, "b": False}
+    out = ema_lib.ema_update(ema0, new, decay, trainable_mask=mask)
+    np.testing.assert_allclose(np.asarray(out["a"]),
+                               tgt["a"].detach().numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["b"]),
+                               tgt["b"].detach().numpy(), rtol=1e-6)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
