@@ -151,6 +151,9 @@ def check_config(cfg: Config) -> None:
         assert n_stages > 1, "freezing requires the sequential algorithm"
     assert cfg.diffusion.mean_type in ("xprev", "xstart", "epsilon")
     assert cfg.diffusion.var_type in ("fixedlarge", "fixedsmall")
+    assert cfg.diffusion.sampler in ("ddpm", "ddim", "dpm_solver"), \
+        cfg.diffusion.sampler
+    assert cfg.diffusion.sample_steps >= 2
 
 
 def train(cfg: Config):
