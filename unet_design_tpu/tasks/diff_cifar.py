@@ -229,7 +229,8 @@ def train(cfg: Config):
 
         step_fn = trainer.make_train_step(loss_fn, tx,
                                           ema_decay=cfg.train.ema_decay,
-                                          trainable_mask=mask, jit=True)
+                                          trainable_mask=mask,
+                                          with_grad_norm=True, jit=True)
         samplers = {}
         if step_count + stage.num_iterations <= resume_step:
             step_count += stage.num_iterations   # stage fully completed
@@ -246,9 +247,11 @@ def train(cfg: Config):
             x0 = jnp.asarray(x0)
             if sequ and stage.n_downsample:
                 x0 = wavelet.haar_downsample(x0, stage.n_downsample)
-            state, loss, loss_list = step_fn(state, x0)
+            state, loss, loss_list, grad_norm = step_fn(state, x0)
             if step_count % cfg.train.metrics_every_iters == 0:
-                m = {"train/loss": float(loss)}
+                # train/grad_norm: the wandb.watch(model) analog
+                m = {"train/loss": float(loss),
+                     "train/grad_norm": float(grad_norm)}
                 for k, l in enumerate(loss_list):
                     m[f"train/res_{cur_res // 2**(len(loss_list)-1-k)}_loss"] \
                         = float(l)

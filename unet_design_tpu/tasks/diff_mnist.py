@@ -246,7 +246,8 @@ def train(cfg: Config):
                 loss, loss_list = vp.loss(out, noise)
             return loss, loss_list
 
-        step_fn = trainer.make_train_step(loss_fn, tx, jit=True)
+        step_fn = trainer.make_train_step(loss_fn, tx, with_grad_norm=True,
+                                          jit=True)
 
         log.info("Stage %d/%d: n_levels_used=%d, n_downsample=%d, iters=%d",
                  stage.index + 1, stage.n_stages, n, stage.n_downsample,
@@ -256,9 +257,11 @@ def train(cfg: Config):
             batch = jnp.asarray(batch_np)
             if sequ and stage.n_downsample > 0:
                 batch = wavelet.haar_downsample(batch, stage.n_downsample)
-            state, loss, loss_list = step_fn(state, batch)
+            state, loss, loss_list, grad_norm = step_fn(state, batch)
             if train_iter % cfg.train.metrics_every_iters == 0:
-                m = {"train/loss": float(loss)}
+                # train/grad_norm: the wandb.watch(model) analog (main.py:188)
+                m = {"train/loss": float(loss),
+                     "train/grad_norm": float(grad_norm)}
                 res = cfg.data.resolution // 2 ** stage.n_downsample
                 for k, l in enumerate(loss_list):
                     m[f"train/res_{res // 2 ** (len(loss_list)-1-k)}_loss"] \

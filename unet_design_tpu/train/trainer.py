@@ -75,12 +75,17 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                     ema_decay: Optional[float] = None,
                     trainable_mask: Optional[Any] = None,
                     has_model_state: bool = False,
+                    with_grad_norm: bool = False,
                     jit: bool = True) -> Callable:
     """Build a (jitted, state-donating) train step.
 
     ``loss_fn(params, rng, batch)`` -> ``(loss, aux)``, or with
     ``has_model_state``: ``loss_fn(params, model_state, rng, batch)`` ->
     ``(loss, (aux, new_model_state))``.
+
+    ``with_grad_norm=True`` appends the pre-clip global gradient norm to the
+    return tuple — the analog of the reference's ``wandb.watch(model)``
+    gradient tracking (``diff_mnist/main.py:188``).
     """
 
     def step(state: TrainState, batch):
@@ -104,6 +109,8 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                                   ema_params=ema_params,
                                   opt_state=opt_state, rng=rng,
                                   model_state=new_mstate)
+        if with_grad_norm:
+            return new_state, loss, aux, optax.global_norm(grads)
         return new_state, loss, aux
 
     if jit:
