@@ -1318,6 +1318,79 @@ def test_ema_matches_reference_execution():
                                tgt["b"].detach().numpy(), rtol=1e-6)
 
 
+def test_cond_pde_resnet_full_forward_matches_reference_execution():
+    """FULL conditioned FNO-ResNet forward parity
+    (conditioned/twod_resnet.py:15-210): conditioned spectral convs with
+    FreqLinear per-mode scaling plus the per-block additive cond_emb, fourier
+    time/param trunk embeddings, pad-9 trunk."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.conditioned.twod_resnet as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.conditioned.resnet import CondPDEResNet
+
+    torch.manual_seed(11)
+
+    class _F4(ref_mod.FourierBasicBlock):
+        def __init__(self, in_planes, planes, cond_channels, stride=1, **kw):
+            super().__init__(in_planes, planes, cond_channels, stride,
+                             modes1=4, modes2=4, **kw)
+
+    ref = ref_mod.ResNet(1, 1, 1, 1, block=_F4, num_blocks=[1, 1],
+                         time_history=1, time_future=1, hidden_channels=8,
+                         activation="gelu", norm=False,
+                         param_conditioning="scalar")
+    ref.eval()
+    rng = np.random.default_rng(20)
+    x = rng.standard_normal((2, 1, 3, 16, 16)).astype(np.float32)
+    t = np.array([1.0, 4.0], np.float32)
+    z = np.array([0.3, 0.9], np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t),
+                      torch.from_numpy(z)).numpy()
+
+    ours = CondPDEResNet(n_output_fields=3, time_future=1,
+                         hidden_channels=8, num_blocks=[1, 1], modes1=4,
+                         modes2=4, param_conditioning="scalar")
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc, jnp.asarray(t),
+                       jnp.asarray(z))["params"]
+
+    sd = ref.state_dict()
+    new = {f"conv_{w}": _conv_from_torch(sd, f"conv_{w}")
+           for w in ("in1", "in2", "out1", "out2")}
+    for which in ("time_embed", "pde_emb"):
+        for j, ref_idx in [(1, 0), (2, 2)]:
+            new[f"{which}_{j}"] = {
+                "kernel": _t2f_lin(sd[f"{which}.{ref_idx}.weight"]),
+                "bias": jnp.asarray(sd[f"{which}.{ref_idx}.bias"].numpy())}
+    for i in range(2):
+        pre = f"layers.{i}.0"
+        new[f"block_{i}"] = {
+            "conv1": _conv_from_torch(sd, f"{pre}.conv1"),
+            "conv2": _conv_from_torch(sd, f"{pre}.conv2"),
+            "cond_emb": {"kernel": _t2f_lin(sd[f"{pre}.cond_emb.weight"]),
+                         "bias": jnp.asarray(
+                             sd[f"{pre}.cond_emb.bias"].numpy())},
+        }
+        for f in ("fourier1", "fourier2"):
+            new[f"block_{i}"][f] = {
+                "weights1": _c2ri(sd[f"{pre}.{f}.weights1"]),
+                "weights2": _c2ri(sd[f"{pre}.{f}.weights2"]),
+                "freq_weights": jnp.asarray(
+                    sd[f"{pre}.{f}.cond_emb.weights"].numpy()),
+                "freq_bias": jnp.asarray(
+                    sd[f"{pre}.{f}.cond_emb.bias"].numpy()[0]),
+            }
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc, jnp.asarray(t), jnp.asarray(z))
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 1, 4, 2, 3)),
+                               ref_out, rtol=1e-4, atol=1e-4)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")

@@ -36,7 +36,11 @@ class CondFourierBasicBlock(nn.Module):
                                          name="fourier1")(x, emb)
         x2 = nn.Conv(self.planes, (1, 1), dtype=self.dtype,
                      name="conv1")(x)
-        out = act(x1 + x2)
+        # additive embedding into the first sum (conditioned/twod_resnet.py:
+        # 43,48-53: cond_emb Linear -> broadcast add before the activation)
+        emb_out = nn.Dense(self.planes, dtype=self.dtype,
+                           name="cond_emb")(emb.astype(self.dtype))
+        out = act(x1 + x2 + emb_out[:, None, None, :])
         x1 = spectral.CondSpectralConv2d(self.planes, self.modes1,
                                          self.modes2,
                                          name="fourier2")(out, emb)
