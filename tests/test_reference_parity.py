@@ -1391,6 +1391,61 @@ def test_cond_pde_resnet_full_forward_matches_reference_execution():
                                ref_out, rtol=1e-4, atol=1e-4)
 
 
+def test_registry_param_counts_match_reference_execution():
+    """Parameter-count parity: construct reference classes with the registry
+    init_args (registry.py:11-351) at the benchmark protocol
+    (time_history=4, 1 scalar + 1 vector component) and compare total
+    parameter counts with our registry models."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_resnet as ref_resnet
+        import pdearena.modules.twod_unet as ref_unet
+        import pdearena.modules.twod_unet2015 as ref_2015
+        import pdearena.modules.twod_unetbase as ref_base
+    finally:
+        sys.path.pop(0)
+    import jax as _jax
+    from unet_design_tpu.models import registry as our_registry
+
+    common = dict(n_input_scalar_components=1, n_input_vector_components=1,
+                  n_output_scalar_components=1, n_output_vector_components=1,
+                  time_history=4, time_future=1)
+
+    class _F8(ref_resnet.FourierBasicBlock):
+        def __init__(self, in_planes, planes, stride=1, **kw):
+            super().__init__(in_planes, planes, stride, modes1=8, modes2=8,
+                             **kw)
+
+    cases = {
+        "Unetbase-64": ref_base.Unetbase(hidden_channels=64,
+                                         activation="gelu", **common),
+        "Unet2015-64": ref_2015.Unet2015(hidden_channels=64,
+                                         activation="gelu", **common),
+        "Unetmod-64": ref_unet.Unet(hidden_channels=64, activation="gelu",
+                                    norm=True, **common),
+        "U-FNet2-16m": ref_unet.FourierUnet(hidden_channels=64,
+                                            activation="gelu", modes1=16,
+                                            modes2=16, norm=True,
+                                            n_fourier_layers=2, **common),
+        "FNO-128-8m": ref_resnet.ResNet(block=_F8, num_blocks=[1, 1, 1, 1],
+                                        hidden_channels=128,
+                                        activation="gelu", norm=False,
+                                        **common),
+    }
+    for name, ref in cases.items():
+        ref_count = sum(p.numel() for p in ref.parameters())
+        model = our_registry.build_model(name, n_scalar_components=1,
+                                         n_vector_components=1,
+                                         time_history=4, time_future=1,
+                                         activation="gelu")
+        x = jnp.zeros((1, 4, 64, 64, 3))
+        params = model.init(_jax.random.PRNGKey(0), x)["params"]
+        ours_count = sum(int(np.prod(v.shape))
+                         for v in jax.tree_util.tree_leaves(params))
+        assert ours_count == ref_count, (name, ours_count, ref_count)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
