@@ -1446,6 +1446,60 @@ def test_registry_param_counts_match_reference_execution():
         assert ours_count == ref_count, (name, ours_count, ref_count)
 
 
+def test_pdearena_unetbase_g_full_forward_matches_reference_execution():
+    """FULL pdearena Unetbase_G forward parity (twod_unetbase.py:254-416)
+    with multi-res outputs and n_extra_resnet_layers=1 — covers
+    PartialResnetConvBlock heads, AvgPool Down_G, interpolate_nearest Up_G
+    with channel conv, FullResnetConvBlock extra decoder layers, and
+    per-level final heads.  This is the NS-2D headline model family."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_unetbase as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.unetbase import UnetbaseG
+
+    torch.manual_seed(12)
+    ref = ref_mod.Unetbase_G(1, 1, 1, 1, time_history=2, time_future=1,
+                             hidden_channels=4, activation="gelu",
+                             multi_res_loss=True, n_extra_resnet_layers=1,
+                             up_fct="interpolate_nearest")
+    ref.eval()
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((2, 2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+
+    ours = UnetbaseG(n_output_fields=3, time_future=1, hidden_channels=4,
+                     activation="gelu", multi_res_loss=True,
+                     n_extra_resnet_layers=1, up_fct="interpolate_nearest")
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+
+    sd = ref.state_dict()
+    core = {}
+    for j in range(4):
+        core[f"image_proj_{j}"] = _convblock_from_torch(
+            sd, f"image_proj_list.{j}")
+        core[f"down_{j}"] = _convblock_from_torch(sd, f"down.{j}.conv")
+        core[f"up_{j}"] = _convblock_from_torch(sd, f"up.{j}.conv")
+        core[f"up_{j}_chconv"] = _conv_from_torch(
+            sd, f"up.{j}.up_conv_channel_dim")
+        core[f"up_{j}_extra_0"] = {"ConvBlock_0": _convblock_from_torch(
+            sd, f"up.{j}.resnet_list.0")}
+        core[f"final_{j}"] = _conv_from_torch(sd, f"final_list.{j}")
+    new = {"core": core}
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, x_nhwc)
+    assert isinstance(y, (list, tuple)) and len(y) == len(ref_out)
+    for yo, ro in zip(y, ref_out):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(yo), (0, 1, 4, 2, 3)), ro.numpy(),
+            rtol=1e-4, atol=1e-4)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")
