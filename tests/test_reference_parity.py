@@ -1500,6 +1500,61 @@ def test_pdearena_unetbase_g_full_forward_matches_reference_execution():
             rtol=1e-4, atol=1e-4)
 
 
+def test_score_network_matches_reference_execution():
+    """MLP ScoreNetwork forward parity (mnist_diff/layers.py:14-67):
+    fairseq-style timestep embedding (half-1 denominator, sin-then-cos),
+    LeakyReLU x/t encoder MLPs, concat, decoder MLP — on both vector and
+    image inputs (transplanted parameters)."""
+    _stub_wavelets()
+    if "wandb" not in sys.modules:
+        sys.modules["wandb"] = types.ModuleType("wandb")
+    sys.path.insert(0, str(REF / "diff_mnist"))
+    try:
+        import mnist_diff.layers as ref_layers
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.openai_unet import ScoreNetwork
+
+    torch.manual_seed(13)
+    ref = ref_layers.ScoreNetwork(x_dim=16)
+    ref.eval()
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((3, 16)).astype(np.float32)
+    t = np.array([[0.1], [0.5], [0.9]], np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    ours = ScoreNetwork(x_dim=16)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(t))["params"]
+    sd = ref.state_dict()
+
+    def mlp_from_torch(prefix, n_layers):
+        return {f"Dense_{i}": {
+            "kernel": _t2f_lin(sd[f"{prefix}.layers.{i}.weight"]),
+            "bias": jnp.asarray(sd[f"{prefix}.layers.{i}.bias"].numpy())}
+            for i in range(n_layers)}
+
+    new = {"t_encoder": mlp_from_torch("t_encoder", 2),
+           "x_encoder": mlp_from_torch("x_encoder", 2),
+           "net": mlp_from_torch("net", 3)}
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = ours.apply({"params": new}, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(y), ref_out, rtol=1e-4, atol=1e-5)
+
+    # image input path: reshape in/out (layers.py:46-66)
+    xi = rng.standard_normal((3, 4, 4, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref(torch.from_numpy(
+            np.transpose(xi, (0, 3, 1, 2))), torch.from_numpy(t)).numpy()
+    yi = ours.apply({"params": new},
+                    jnp.asarray(np.transpose(xi, (0, 3, 1, 2))),
+                    jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(yi), ref_img, rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_pde_losses_match_reference_execution():
     ref_loss = _load("ref_pde_loss",
                      REF / "pdearena" / "pdearena" / "modules" / "loss.py")

@@ -457,8 +457,9 @@ class ScoreNetwork(nn.Module):
         if is_image:
             x = x.reshape(x.shape[0], -1)
         t_enc_dim = self.pos_dim * 2
-        temb = embeddings.openai_timestep_embedding(jnp.reshape(t, (-1,)),
-                                                    self.pos_dim)
+        # fairseq-style embedding, NOT the OpenAI one (time_embedding.py:6-23)
+        temb = embeddings.fairseq_timestep_embedding(jnp.reshape(t, (-1,)),
+                                                     self.pos_dim)
         temb = MLP(tuple(self.encoder_layers) + (t_enc_dim,),
                    name="t_encoder")(temb)
         xemb = MLP(tuple(self.encoder_layers) + (t_enc_dim,),

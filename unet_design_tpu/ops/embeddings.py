@@ -28,6 +28,20 @@ def ddpm_time_embedding(t: jnp.ndarray, d_model: int) -> jnp.ndarray:
     return emb.reshape(t.shape[0], d_model)
 
 
+def fairseq_timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """[sin | cos] fairseq-style embedding used by the MLP ScoreNetwork
+    (``torch_ddpm/ddpm/models/basic/time_embedding.py:6-23``): note the
+    ``half - 1`` frequency denominator, unlike the OpenAI variant."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0)
+                    * jnp.arange(half, dtype=jnp.float32) / (half - 1))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
 def openai_timestep_embedding(t: jnp.ndarray, dim: int,
                               max_period: float = 10000.0) -> jnp.ndarray:
     """[cos | sin] embedding; timesteps may be fractional.  (B,) -> (B, dim)."""
