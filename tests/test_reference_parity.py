@@ -1446,7 +1446,8 @@ def test_registry_param_counts_match_reference_execution():
         assert ours_count == ref_count, (name, ours_count, ref_count)
 
 
-def test_pdearena_unetbase_g_full_forward_matches_reference_execution():
+@pytest.mark.parametrize("up_fct", ["interpolate_nearest", "conv"])
+def test_pdearena_unetbase_g_full_forward_matches_reference_execution(up_fct):
     """FULL pdearena Unetbase_G forward parity (twod_unetbase.py:254-416)
     with multi-res outputs and n_extra_resnet_layers=1 — covers
     PartialResnetConvBlock heads, AvgPool Down_G, interpolate_nearest Up_G
@@ -1464,7 +1465,7 @@ def test_pdearena_unetbase_g_full_forward_matches_reference_execution():
     ref = ref_mod.Unetbase_G(1, 1, 1, 1, time_history=2, time_future=1,
                              hidden_channels=4, activation="gelu",
                              multi_res_loss=True, n_extra_resnet_layers=1,
-                             up_fct="interpolate_nearest")
+                             up_fct=up_fct)
     ref.eval()
     rng = np.random.default_rng(21)
     x = rng.standard_normal((2, 2, 3, 32, 32)).astype(np.float32)
@@ -1473,7 +1474,7 @@ def test_pdearena_unetbase_g_full_forward_matches_reference_execution():
 
     ours = UnetbaseG(n_output_fields=3, time_future=1, hidden_channels=4,
                      activation="gelu", multi_res_loss=True,
-                     n_extra_resnet_layers=1, up_fct="interpolate_nearest")
+                     n_extra_resnet_layers=1, up_fct=up_fct)
     x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
     params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
 
@@ -1484,8 +1485,13 @@ def test_pdearena_unetbase_g_full_forward_matches_reference_execution():
             sd, f"image_proj_list.{j}")
         core[f"down_{j}"] = _convblock_from_torch(sd, f"down.{j}.conv")
         core[f"up_{j}"] = _convblock_from_torch(sd, f"up.{j}.conv")
-        core[f"up_{j}_chconv"] = _conv_from_torch(
-            sd, f"up.{j}.up_conv_channel_dim")
+        if up_fct == "conv":
+            core[f"up_{j}_tconv"] = {"ConvTranspose_0": {
+                "kernel": _t2f_tconv(sd[f"up.{j}.up.weight"]),
+                "bias": jnp.asarray(sd[f"up.{j}.up.bias"].numpy())}}
+        else:
+            core[f"up_{j}_chconv"] = _conv_from_torch(
+                sd, f"up.{j}.up_conv_channel_dim")
         core[f"up_{j}_extra_0"] = {"ConvBlock_0": _convblock_from_torch(
             sd, f"up.{j}.resnet_list.0")}
         core[f"final_{j}"] = _conv_from_torch(sd, f"final_list.{j}")
