@@ -27,6 +27,10 @@ def main(argv=None):
                    help="grid rows (default: per-PDE config default)")
     p.add_argument("--ny", type=int, default=None)
     p.add_argument("--nt", type=int, default=None)
+    p.add_argument("--sample-rate", type=int, default=None,
+                   help="save every k-th simulation step (trajlen = nt/k)")
+    p.add_argument("--skip-nt", type=int, default=None,
+                   help="burn-in simulation steps before the first saved frame")
     p.add_argument("--buoyancy-y", type=float, default=0.5)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the env var alone does not "
@@ -40,7 +44,8 @@ def main(argv=None):
     def sized(cfg_cls, **extra):
         import dataclasses
         over = {k: v for k, v in
-                (("nx", args.nx), ("ny", args.ny), ("nt", args.nt))
+                (("nx", args.nx), ("ny", args.ny), ("nt", args.nt),
+                 ("sample_rate", args.sample_rate), ("skip_nt", args.skip_nt))
                 if v is not None}
         return dataclasses.replace(cfg_cls(**extra), **over)
 

@@ -33,6 +33,31 @@ def test_divergence_free_projection():
     assert np.abs(div).max() < 1e-3 * max(np.abs(vx0).max(), 1.0)
 
 
+def test_matmul_spectral_step_matches_fft_path():
+    """The fused matmul-DFT diffuse+project must equal the separate
+    FFT-based _diffuse + _project to float tolerance."""
+    rng = np.random.default_rng(0)
+    vx = jax.numpy.asarray(rng.standard_normal((16, 16)).astype(np.float32))
+    vy = jax.numpy.asarray(rng.standard_normal((16, 16)).astype(np.float32))
+    nu, dt = 0.05, 0.3
+
+    @jax.jit
+    def fused(vx, vy):
+        basis = ns._spectral_basis(16, 16)
+        return ns._diffuse_project_mm(vx, vy, nu, dt, basis)
+
+    @jax.jit
+    def reference(vx, vy):
+        return ns._project(ns._diffuse(vx, nu, dt), ns._diffuse(vy, nu, dt))
+
+    fx, fy = fused(vx, vy)
+    rx, ry = reference(vx, vy)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(rx),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fy), np.asarray(ry),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_generate_and_reload_h5(tmp_path):
     h5py = pytest.importorskip("h5py")
     pde = small_pde()

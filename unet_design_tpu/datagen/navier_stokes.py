@@ -78,6 +78,49 @@ def _diffuse(f: jnp.ndarray, nu: float, dt: float) -> jnp.ndarray:
     return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(f) * decay))
 
 
+def _dft_matrix(n: int) -> jnp.ndarray:
+    """Dense DFT matrix, built traced/on-device (complex eager constants are
+    unsupported on the axon backend; see CLAUDE.md)."""
+    k = jnp.arange(n, dtype=jnp.float32)
+    ang = (-2.0 * jnp.pi / n) * (k[:, None] * k[None, :])
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def _spectral_basis(nx: int, ny: int):
+    """Precomputed DFT matrices + wavenumber grids for the fused
+    diffuse+project step."""
+    wx = _dft_matrix(nx)
+    wy = _dft_matrix(ny)
+    kx = jnp.fft.fftfreq(nx)[:, None] * 2 * jnp.pi
+    ky = jnp.fft.fftfreq(ny)[None, :] * 2 * jnp.pi
+    k2 = kx ** 2 + ky ** 2
+    k2_safe = jnp.where(k2 == 0, 1.0, k2)
+    mask = ((jnp.arange(nx)[:, None] != nx // 2)
+            & (jnp.arange(ny)[None, :] != ny // 2)).astype(jnp.float32)
+    return dict(wx=wx, wy_t=wy.T, iwx=jnp.conj(wx), iwy_t=jnp.conj(wy).T,
+                kx=kx, ky=ky, k2=k2, k2_safe=k2_safe, mask=mask,
+                inv_n=1.0 / (nx * ny))
+
+
+def _diffuse_project_mm(vx, vy, nu, dt, basis):
+    """Viscous decay + Helmholtz projection in ONE spectral round trip, with
+    the DFTs as dense matmuls.  XLA's TPU FFT is slow (see ops/spectral.py);
+    at datagen sizes (<=256^2) the MXU matmul path is far faster, and fusing
+    diffusion into the projection halves the number of transforms per step."""
+    b = basis
+    vxh = b["wx"] @ vx @ b["wy_t"]
+    vyh = b["wx"] @ vy @ b["wy_t"]
+    decay = jnp.exp(-nu * b["k2"] * dt)
+    vxh = vxh * decay
+    vyh = vyh * decay
+    div = b["kx"] * vxh + b["ky"] * vyh
+    vxh = (vxh - b["kx"] * div / b["k2_safe"]) * b["mask"]
+    vyh = (vyh - b["ky"] * div / b["k2_safe"]) * b["mask"]
+    vx = jnp.real(b["iwx"] @ vxh @ b["iwy_t"]) * b["inv_n"]
+    vy = jnp.real(b["iwx"] @ vyh @ b["iwy_t"]) * b["inv_n"]
+    return vx, vy
+
+
 @partial(jax.jit, static_argnames=("pde",))
 def simulate_trajectory(rng: jax.Array, pde: NavierStokes2D,
                         buoyancy_y: Optional[jnp.ndarray] = None):
@@ -92,15 +135,20 @@ def simulate_trajectory(rng: jax.Array, pde: NavierStokes2D,
     vy = _smooth_noise(r3, nx, ny, scale=pde.force_strength)
     vx, vy = _project(vx, vy)
 
+    basis = _spectral_basis(nx, ny) if max(nx, ny) <= 512 else None
+
     def step(carry, _):
         smoke, vx, vy = carry
         smoke = _advect(smoke, vx, vy, dt)
         vx_a = _advect(vx, vx, vy, dt)
         vy_a = _advect(vy, vx, vy, dt)
         vy_a = vy_a + dt * buo * smoke          # buoyancy force on smoke
-        vx_a = _diffuse(vx_a, pde.nu, dt)
-        vy_a = _diffuse(vy_a, pde.nu, dt)
-        vx_p, vy_p = _project(vx_a, vy_a)
+        if basis is not None:
+            vx_p, vy_p = _diffuse_project_mm(vx_a, vy_a, pde.nu, dt, basis)
+        else:
+            vx_a = _diffuse(vx_a, pde.nu, dt)
+            vy_a = _diffuse(vy_a, pde.nu, dt)
+            vx_p, vy_p = _project(vx_a, vy_a)
         return (smoke, vx_p, vy_p), (smoke, vx_p, vy_p)
 
     n_steps = pde.skip_nt + pde.nt
@@ -128,9 +176,14 @@ def generate_trajectories_smoke(pde: NavierStokes2D, mode: str,
     nt, nx, ny = pde.trajlen, pde.nx, pde.ny
     with h5py.File(path, "a") as h5f:
         ds = h5f.create_group(mode)
-        h5u = ds.create_dataset("u", (num_samples, nt, nx, ny), dtype=float)
-        h5vx = ds.create_dataset("vx", (num_samples, nt, nx, ny), dtype=float)
-        h5vy = ds.create_dataset("vy", (num_samples, nt, nx, ny), dtype=float)
+        # float32 fields: the solver runs f32 and training casts to f32, so
+        # f64 storage would only double IO (grid/time coords stay f64).
+        h5u = ds.create_dataset("u", (num_samples, nt, nx, ny),
+                                dtype=np.float32)
+        h5vx = ds.create_dataset("vx", (num_samples, nt, nx, ny),
+                                 dtype=np.float32)
+        h5vy = ds.create_dataset("vy", (num_samples, nt, nx, ny),
+                                 dtype=np.float32)
         tco = ds.create_dataset("t", (num_samples, nt), dtype=float)
         dtd = ds.create_dataset("dt", (num_samples,), dtype=float)
         xco = ds.create_dataset("x", (num_samples, nx), dtype=float)
