@@ -34,11 +34,27 @@ def epoch_batches(arrays: Sequence[np.ndarray], batch_size: int,
 
 
 def infinite_batches(arrays: Sequence[np.ndarray], batch_size: int,
-                     seed: int = 0, shuffle: bool = True) -> Iterator[tuple]:
-    """``infiniteloop`` equivalent: endless reshuffled epochs."""
+                     seed: int = 0, shuffle: bool = True,
+                     start_step: int = 0) -> Iterator[tuple]:
+    """``infiniteloop`` equivalent: endless reshuffled epochs.
+
+    ``start_step`` fast-forwards the stream to where it would be after that
+    many batches had already been drawn — replaying only the cheap index
+    permutations, not the data — so a resumed run consumes exactly the same
+    batch sequence as an uninterrupted one (full-fidelity resume).
+    """
     rng = np.random.default_rng(seed)
+    n = arrays[0].shape[0]
+    per_epoch = max(1, n // batch_size)  # epoch_batches drops the tail
+    for _ in range(start_step // per_epoch):
+        rng.shuffle(np.arange(n))  # consume exactly one epoch's randomness
+    skip = start_step % per_epoch
     while True:
-        yield from epoch_batches(arrays, batch_size, rng, shuffle)
+        for i, batch in enumerate(epoch_batches(arrays, batch_size, rng,
+                                                shuffle)):
+            if i >= skip:
+                yield batch
+        skip = 0
 
 
 def shard_for_process(items: Sequence[Any],

@@ -32,6 +32,9 @@ def fairseq_timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     """[sin | cos] fairseq-style embedding used by the MLP ScoreNetwork
     (``torch_ddpm/ddpm/models/basic/time_embedding.py:6-23``): note the
     ``half - 1`` frequency denominator, unlike the OpenAI variant."""
+    assert dim >= 4, (
+        f"fairseq embedding needs dim >= 4 (got {dim}): the half-1 "
+        "denominator would divide by zero and silently yield NaNs")
     half = dim // 2
     freqs = jnp.exp(-math.log(10000.0)
                     * jnp.arange(half, dtype=jnp.float32) / (half - 1))

@@ -248,8 +248,15 @@ def dpm_solver_sample(model_fn: ModelFn, schedule: DDPMSchedule,
     lam_all = lam_of(alphas_bar)
     targets = jnp.linspace(lam_all[T - 1], lam_all[0], n_steps)
     ts = jnp.argmin(jnp.abs(lam_all[None, :] - targets[:, None]), axis=1)
-    ts = jnp.sort(ts)[::-1].astype(jnp.int32)  # descending; a duplicated t
-    # would make a harmless h~0 no-op step (coef -> 0, x_next -> x)
+    ts = jnp.sort(ts)[::-1].astype(jnp.int32)  # descending
+    # clamp to STRICTLY decreasing (ts_i <= ts_{i-1} - 1, via
+    # cummin(ts + i) - i): a duplicated t would be a guarded h~0 no-op but
+    # still spend a full model evaluation, silently lowering the effective
+    # step count below n_steps.  Floored at 0 (only reachable if
+    # n_steps > T, where surplus steps degenerate to no-ops by design).
+    idx = jnp.arange(n_steps, dtype=jnp.int32)
+    ts = jax.lax.associative_scan(jnp.minimum, ts + idx) - idx
+    ts = jnp.maximum(ts, 0)
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1])])
 
     def body(carry, inputs):

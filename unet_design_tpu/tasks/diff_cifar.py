@@ -85,6 +85,7 @@ class TrainConfig:
     fid_stats_cache: Optional[str] = None
     metrics_every_iters: int = 100
     resume: bool = False   # restore latest checkpoint (TRAIN_ID analog)
+    stop_after_steps: int = 0   # graceful preemption after N global steps
     logdir: str = "runs/diff_cifar"
 
 
@@ -183,21 +184,32 @@ def train(cfg: Config):
     stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
                                              n_levels)
     sequ = len(stages) > 1
-    aug_rng = np.random.default_rng(cfg.train.seed)
-    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
-                                          seed=cfg.train.seed)
-    step_count = 0
     state = None
 
-    # Resume (the reference's wandb TRAIN_ID restore, main.py:115-161):
-    # restore params/EMA and fast-forward the stage loop by step count.
+    # Resume (the reference's wandb TRAIN_ID restore, main.py:115-161, which
+    # loads model + EMA + optimizer + scheduler): full fidelity — the data
+    # stream, flip randomness, per-step PRNG, optimizer moments and warmup
+    # position all continue exactly where the interrupted run stopped.
     resume_step = 0
     if cfg.train.resume and ckpt.latest_step() is not None:
         resume_step = ckpt.latest_step()
-        restored = ckpt.restore(resume_step,
-                                {"params": params, "ema_params": ema_params})
-        params, ema_params = restored["params"], restored["ema_params"]
+        raw = ckpt.restore_raw(resume_step)
+        to_tree = lambda t, like: jax.tree_util.tree_map(
+            lambda _, v: jnp.asarray(v), like, t)
+        params = to_tree(raw["params"], params)
+        ema_params = to_tree(raw["ema_params"], ema_params)
         log.info("Resumed from checkpoint step %d", resume_step)
+
+    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
+                                          seed=cfg.train.seed,
+                                          start_step=resume_step)
+    step_count = 0
+
+    def save_full(step_count, state):
+        ckpt.save(step_count, {
+            "params": state.params, "ema_params": state.ema_params,
+            "opt_state": state.opt_state, "rng": state.rng,
+            "step": state.step})
 
     for stage in stages:
         n = stage.n_levels_used
@@ -212,9 +224,18 @@ def train(cfg: Config):
         tx = trainer.make_optimizer(
             schedules.warmup_lr(cfg.train.lr, cfg.train.warmup),
             grad_clip=cfg.train.grad_clip, labels=labels)
-        rng, s_rng = jax.random.split(rng)
+        # stage PRNG derived statelessly so a resumed run re-derives the
+        # identical key without replaying the split history
+        s_rng = jax.random.fold_in(rng, 10_000 + stage.index)
         state = trainer.TrainState.create(params, s_rng, tx.init(params))
         state = state.replace(ema_params=ema_params)
+        if step_count < resume_step < step_count + stage.num_iterations:
+            # mid-stage resume: optimizer moments, warmup position and the
+            # per-step PRNG chain continue from the checkpoint
+            state = state.replace(**ckpt.restore(resume_step, {
+                "params": state.params, "ema_params": state.ema_params,
+                "opt_state": state.opt_state, "rng": state.rng,
+                "step": state.step}))
 
         def loss_fn(p, step_rng, batch, n=n, stage=stage):
             def model_fn(x, t, nl):
@@ -240,10 +261,12 @@ def train(cfg: Config):
                  stage.num_iterations)
         for _ in range(stage.num_iterations):
             if step_count < resume_step:
-                step_count += 1
+                step_count += 1   # batches already fast-forwarded
                 continue
             (x0,) = next(batches)
-            x0 = image_data.random_horizontal_flip(x0, aug_rng)
+            # stateless per-step flip randomness: identical under resume
+            x0 = image_data.random_horizontal_flip(
+                x0, np.random.default_rng((cfg.train.seed, step_count)))
             x0 = jnp.asarray(x0)
             if sequ and stage.n_downsample:
                 x0 = wavelet.haar_downsample(x0, stage.n_downsample)
@@ -267,7 +290,8 @@ def train(cfg: Config):
                     nl = n - int(math.log2(cur_res // r))
                     if nl not in samplers:
                         samplers[nl] = make_sampler(cfg, model, sch, nl)
-                    rng, n_rng, smp_rng = jax.random.split(rng, 3)
+                    n_rng, smp_rng = jax.random.split(jax.random.fold_in(
+                        jax.random.fold_in(rng, step_count), r))
                     x_T = jax.random.normal(n_rng, (n_smp, r, r, in_ch))
                     imgs = np.asarray(
                         samplers[nl](state.ema_params, smp_rng, x_T))
@@ -276,23 +300,33 @@ def train(cfg: Config):
                         imgs[:side * side], side, side,
                         f"res {r}, iter {step_count}")
                     metrics.log_figure(f"samples/res_{r}", fig, step_count)
-            if (cfg.train.save_step and step_count > 0
-                    and step_count % cfg.train.save_step == 0):
-                ckpt.save(step_count, {
-                    "params": state.params, "ema_params": state.ema_params,
-                    "opt_state": state.opt_state})
             if (cfg.train.eval_step and step_count > 0
                     and step_count % cfg.train.eval_step == 0):
-                rng, e_rng = jax.random.split(rng)
+                e_rng = jax.random.fold_in(rng, 20_000 + step_count)
                 scores = evaluate(cfg, model, state.ema_params, sch, e_rng,
                                   n_levels_used=n, resolution=cur_res)
                 metrics.log({f"eval/{k}": v for k, v in scores.items()
                              if np.isscalar(v)}, step_count)
             step_count += 1
+            # save AFTER the increment: checkpoint key k == "k steps done",
+            # matching both the resume fast-forward and the data cursor
+            saved_now = (cfg.train.save_step
+                         and step_count % cfg.train.save_step == 0)
+            if saved_now:
+                save_full(step_count, state)
+            if (cfg.train.stop_after_steps
+                    and step_count >= cfg.train.stop_after_steps):
+                # graceful preemption (time-limited jobs): checkpoint and
+                # leave; a resume=True rerun continues bit-exactly
+                if not saved_now:
+                    save_full(step_count, state)
+                metrics.close()
+                return state
         params = state.params
         ema_params = state.ema_params
 
-    ckpt.save(step_count, {"params": params, "ema_params": ema_params})
+    if ckpt.latest_step() != step_count:
+        save_full(step_count, state)
     metrics.close()
     return state
 
@@ -320,10 +354,15 @@ def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
         b = min(batch_size, num_images - s)
         rng, n_rng, s_rng = jax.random.split(rng, 3)
         x_T = jax.random.normal(n_rng, (b, resolution, resolution, 3))
-        if mesh is not None and b == batch_size:
+        if mesh is not None:
             from unet_design_tpu.parallel import mesh as mesh_lib
+            # pad the tail batch up to a mesh multiple so it samples sharded
+            # too (padded rows are trimmed after sampling)
+            pad = (-b) % mesh.shape["data"]
+            if pad:
+                x_T = jnp.concatenate([x_T, x_T[:pad]], axis=0)
             x_T = mesh_lib.shard_batch(x_T, mesh)
-        x0 = sampler(params, s_rng, x_T)
+        x0 = sampler(params, s_rng, x_T)[:b]
         images.append(np.asarray((x0 + 1.0) / 2.0))
     images = np.concatenate(images)
 
@@ -335,6 +374,12 @@ def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
            "IS_std": result["inception_score"][1]}
     if "fid" in result:
         out["FID"] = result["fid"]
+    if "warning" in result:
+        # make the random-weights caveat impossible to miss: the numbers look
+        # plausible but are NOT comparable to published FID/IS
+        log.warning("FID/IS computed with RANDOM Inception weights: %s",
+                    result["warning"])
+        out["untrusted_random_inception_weights"] = 1.0
     return out
 
 

@@ -84,6 +84,8 @@ class TrainConfig:
     u_net_norm_every_iters: int = 0  # 0 disables norm-vs-t figures
     metrics_every_iters: int = 100
     save_every_iters: int = 0
+    resume: bool = False        # restore latest checkpoint (TRAIN_ID analog)
+    stop_after_steps: int = 0   # graceful preemption after N global steps
     do_superres: bool = False
     superres_factor: int = 2         # target_res / final trained res
     logdir: str = "runs/diff_mnist"
@@ -201,10 +203,28 @@ def train(cfg: Config):
     stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
                                              n_levels)
     sequ = len(stages) > 1
-    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
-                                          seed=cfg.train.seed)
     state = None
     train_iter = 0
+
+    # Full-fidelity resume (the reference's wandb TRAIN_ID restore,
+    # diff_mnist/main.py:50-95): params, optimizer moments, per-step PRNG and
+    # the data cursor all continue exactly.
+    resume_step = 0
+    if cfg.train.resume and ckpt.latest_step() is not None:
+        resume_step = ckpt.latest_step()
+        raw = ckpt.restore_raw(resume_step)
+        params = jax.tree_util.tree_map(lambda _, v: jnp.asarray(v),
+                                        params, raw["params"])
+        log.info("Resumed from checkpoint step %d", resume_step)
+
+    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
+                                          seed=cfg.train.seed,
+                                          start_step=resume_step)
+
+    def save_full(step, state):
+        ckpt.save(step, {"params": state.params,
+                         "opt_state": state.opt_state,
+                         "rng": state.rng, "step": state.step})
 
     for stage in stages:
         n = stage.n_levels_used if is_wavelet else 1
@@ -216,9 +236,15 @@ def train(cfg: Config):
                                     grad_clip=cfg.train.grad_clip,
                                     labels=labels)
         opt_state = tx.init(params)
-        rng, state_rng = jax.random.split(rng)
+        state_rng = jax.random.fold_in(rng, 10_000 + stage.index)
         state = trainer.TrainState.create(params, state_rng, opt_state,
                                           ema=False)
+        if train_iter < resume_step < train_iter + stage.num_iterations:
+            # mid-stage resume: optimizer moments and the per-step PRNG
+            # chain continue from the checkpoint
+            state = state.replace(**ckpt.restore(resume_step, {
+                "params": state.params, "opt_state": state.opt_state,
+                "rng": state.rng, "step": state.step}))
 
         stage_kw = dict(stage=stage.index, n_stages=stage.n_stages) \
             if cfg.diffusion.staged_partitioned_time_intervals and sequ \
@@ -249,10 +275,16 @@ def train(cfg: Config):
         step_fn = trainer.make_train_step(loss_fn, tx, with_grad_norm=True,
                                           jit=True)
 
+        if train_iter + stage.num_iterations <= resume_step:
+            train_iter += stage.num_iterations   # stage fully completed
+            continue
         log.info("Stage %d/%d: n_levels_used=%d, n_downsample=%d, iters=%d",
                  stage.index + 1, stage.n_stages, n, stage.n_downsample,
                  stage.num_iterations)
         for _ in range(stage.num_iterations):
+            if train_iter < resume_step:
+                train_iter += 1   # batches already fast-forwarded
+                continue
             (batch_np,) = next(batches)
             batch = jnp.asarray(batch_np)
             if sequ and stage.n_downsample > 0:
@@ -276,7 +308,8 @@ def train(cfg: Config):
                 stage_res = cfg.data.resolution // 2 ** stage.n_downsample
                 for k in (range(1, n + 1) if is_wavelet else (1,)):
                     r = stage_res // 2 ** (n - k)
-                    rng, s_rng = jax.random.split(rng)
+                    s_rng = jax.random.fold_in(
+                        jax.random.fold_in(rng, 20_000 + train_iter), k)
                     imgs = sample(cfg, model, state.params, vp, s_rng, k,
                                   r, in_channels)
                     side = max(1, int(math.sqrt(len(imgs))))
@@ -289,12 +322,19 @@ def train(cfg: Config):
                     and train_iter % cfg.train.u_net_norm_every_iters == 0):
                 fig = unet_norm_figure(cfg, model, state.params, batch, vp, n)
                 metrics.log_figure("u_net_norms", fig, train_iter)
-            if (cfg.train.save_every_iters
-                    and train_iter % cfg.train.save_every_iters == 0
-                    and train_iter > 0):
-                ckpt.save(train_iter, {"params": state.params,
-                                       "opt_state": state.opt_state})
             train_iter += 1
+            # save AFTER the increment: checkpoint key k == "k steps done",
+            # matching the resume fast-forward and the data cursor
+            saved_now = (cfg.train.save_every_iters
+                         and train_iter % cfg.train.save_every_iters == 0)
+            if saved_now:
+                save_full(train_iter, state)
+            if (cfg.train.stop_after_steps
+                    and train_iter >= cfg.train.stop_after_steps):
+                if not saved_now:
+                    save_full(train_iter, state)
+                metrics.close()
+                return state
         params = state.params
 
     if cfg.train.do_superres and is_wavelet and sequ:
@@ -322,7 +362,8 @@ def train(cfg: Config):
                         "model has %d", cfg.train.superres_factor,
                         n_used + extra, n_levels)
 
-    ckpt.save(train_iter, {"params": params})
+    if ckpt.latest_step() != train_iter:
+        save_full(train_iter, state)
     metrics.close()
     return state
 

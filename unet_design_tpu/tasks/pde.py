@@ -63,6 +63,10 @@ class DataConfig:
     batch_size: int = 8
     limit_trajectories: Optional[int] = None
     n_synthetic: int = 8
+    # windows drawn per trajectory per epoch; None = trajlen, the reference
+    # datapipe's ``cycle(trajlen)`` semantics (datapipes/common.py:69-96).
+    # Set 1 for quick smoke runs (14x shorter epochs at trajlen=14).
+    train_cycles: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -77,6 +81,8 @@ class TrainConfig:
     freeze_lower_res: bool = False
     seed: int = 0
     val_every_epochs: int = 1
+    resume: bool = False        # continue from the last epoch checkpoint
+    stop_after_epochs: int = 0  # graceful preemption after N epochs
     logdir: str = "runs/pde"
 
 
@@ -164,27 +170,66 @@ def train(cfg: Config):
 
     metrics_logger = MetricsLogger(cfg.train.logdir)
     ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
+    # epoch-granular full-state checkpoints for resume, separate from the
+    # best-val policy above (Lightning keeps 'last' next to 'best' the same
+    # way, configs/navierstokes2d.yaml:37-46)
+    ckpt_latest = CheckpointManager(
+        os.path.join(cfg.train.logdir, "ckpt_latest"), keep=2)
     best_val = np.inf
     prev_stage = -1
     step_fn = None
     eval_fn = None
     step = 0
+    cycles = (cfg.data.train_cycles if cfg.data.train_cycles is not None
+              else pde.trajlen)
+
+    def count_trajectories() -> int:
+        opener = open_trajectories(cfg.data, "train")
+        try:
+            return opener.n_trajectories()
+        except AttributeError:
+            pass
+        try:
+            return len(opener)
+        except TypeError:
+            raise ValueError(
+                "cannot determine steps/epoch for the LR schedule: train "
+                "opener has neither n_trajectories() nor __len__ "
+                f"({type(opener).__name__}); the warmup-cosine schedule "
+                "would be silently distorted")
 
     lr = cfg.train.lr
     if cfg.train.warmup_epochs > 0:
         # optax evaluates the schedule per optimizer step; the reference
         # steps LinearWarmupCosineAnnealingLR once per epoch, so convert.
-        opener = open_trajectories(cfg.data, "train")
-        try:
-            n_windows = opener.n_trajectories()  # one window/traj (cycles=1)
-        except (AttributeError, OSError):
-            n_windows = cfg.data.batch_size  # fallback: 1 step/epoch
+        n_windows = count_trajectories() * cycles
         steps_per_epoch = max(1, -(-n_windows // cfg.data.batch_size))
         lr = schedules.linear_warmup_cosine_annealing(
             cfg.train.lr, cfg.train.warmup_epochs, n_epochs_total,
             steps_per_epoch=steps_per_epoch)
 
-    for epoch in range(n_epochs_total):
+    # Full-fidelity resume: params, BatchNorm stats, optimizer moments,
+    # schedule position (opt count), per-step PRNG and best-val marker all
+    # continue; the data stream is already epoch-seeded so the resumed run
+    # consumes identical batches.
+    start_epoch = 0
+    resume_state_raw = None
+    if cfg.train.resume and ckpt_latest.latest_step() is not None:
+        last_epoch = ckpt_latest.latest_step()
+        extra = ckpt_latest.load_extra(last_epoch) or {}
+        start_epoch = last_epoch + 1
+        step = int(extra.get("step", 0))
+        best_val = float(extra.get("best_val", np.inf))
+        resume_state_raw = ckpt_latest.restore_raw(last_epoch)
+        to_tree = lambda t, like: jax.tree_util.tree_map(
+            lambda _, v: jnp.asarray(v), like, t)
+        params = to_tree(resume_state_raw["params"], params)
+        if model_state:
+            model_state = to_tree(resume_state_raw["model_state"],
+                                  model_state)
+        log.info("Resuming at epoch %d (step %d)", start_epoch, step)
+
+    for epoch in range(start_epoch, n_epochs_total):
         stage = find_cur_stage(cfg.train.num_epochs_list, epoch) if sequ \
             else len(cfg.train.num_epochs_list) - 1
         n_downsample = (len(cfg.train.num_epochs_list) - (stage + 1)
@@ -202,10 +247,31 @@ def train(cfg: Config):
             tx = trainer.make_optimizer(lr, labels=labels,
                                         optimizer=cfg.train.optimizer,
                                         weight_decay=cfg.train.weight_decay)
-            rng, s_rng = jax.random.split(rng)
+            # stage PRNG derived statelessly so a resumed run re-derives the
+            # identical key without replaying the split history
+            s_rng = jax.random.fold_in(rng, 10_000 + stage)
             state = trainer.TrainState.create(
                 params, s_rng, tx.init(params), ema=False,
                 model_state=model_state or None)
+            if (resume_state_raw is not None
+                    and find_cur_stage(cfg.train.num_epochs_list,
+                                       max(start_epoch - 1, 0)) == stage):
+                # mid-stage resume: optimizer moments, schedule position and
+                # the per-step PRNG chain continue from the checkpoint (at a
+                # stage boundary the uninterrupted run re-inits them fresh)
+                target = {"params": state.params,
+                          "opt_state": state.opt_state,
+                          "rng": state.rng, "step": state.step}
+                if model_state:
+                    target["model_state"] = model_state
+                restored = ckpt_latest.restore(start_epoch - 1, target)
+                state = state.replace(
+                    params=restored["params"],
+                    opt_state=restored["opt_state"], rng=restored["rng"],
+                    step=restored["step"],
+                    model_state=restored.get("model_state",
+                                             state.model_state))
+            resume_state_raw = None
 
             has_mstate = bool(model_state)
 
@@ -265,7 +331,8 @@ def train(cfg: Config):
         # ---- train epoch
         opener = open_trajectories(cfg.data, "train")
         windows = pde_data.randomized_train_windows(
-            opener, pde, th, tf, tg, seed=cfg.train.seed + epoch, cycles=1)
+            opener, pde, th, tf, tg, seed=cfg.train.seed + epoch,
+            cycles=cycles)
         epoch_losses = []
         for bx, by in pde_data.batched_windows(windows, cfg.data.batch_size):
             state, loss, aux = step_fn(state, (jnp.asarray(bx),
@@ -291,6 +358,19 @@ def train(cfg: Config):
                 best_val = val["valid/unrolled_loss_mean"]
                 ckpt.save(step, {"params": params},
                           extra={"epoch": epoch, "best_val": best_val})
+
+        # ---- epoch-granular full-state checkpoint (resume point)
+        full = {"params": state.params, "opt_state": state.opt_state,
+                "rng": state.rng, "step": state.step}
+        if model_state:
+            full["model_state"] = model_state
+        ckpt_latest.save(epoch, full,
+                         extra={"step": step, "best_val": float(best_val)})
+        if (cfg.train.stop_after_epochs
+                and epoch + 1 >= start_epoch + cfg.train.stop_after_epochs):
+            log.info("Stopping after %d epochs (graceful preemption)",
+                     epoch + 1)
+            break
 
     metrics_logger.close()
     return state

@@ -69,6 +69,8 @@ class TrainConfig:
     # improvement must beat best - min_improvement to reset patience
     # (``wmh/train_pt.py:619-627``; reference default 0.001)
     early_stop_min_improvement: float = 0.0
+    resume: bool = False        # continue from the last epoch checkpoint
+    stop_after_epochs: int = 0  # graceful preemption after N epochs
     logdir: str = "runs/wmh"
 
 
@@ -122,7 +124,8 @@ def train(cfg: Config):
 
     metrics_logger = MetricsLogger(cfg.train.logdir)
     ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
-    aug_rng = np.random.default_rng(cfg.train.seed)
+    ckpt_latest = CheckpointManager(
+        os.path.join(cfg.train.logdir, "ckpt_latest"), keep=2)
     best_val = np.inf
     best_params = jax.tree_util.tree_map(jnp.copy, params)
     patience = 0
@@ -132,7 +135,26 @@ def train(cfg: Config):
     n_epochs_total = sum(cfg.train.num_epochs_list)
     from unet_design_tpu.tasks.pde import find_cur_stage
 
-    for epoch in range(n_epochs_total):
+    # Full-fidelity resume: params, best-so-far params, optimizer moments,
+    # early-stop bookkeeping and PRNG all continue; shuffle/augment
+    # randomness is epoch-keyed so the batch stream is identical.
+    start_epoch = 0
+    resume_state_raw = None
+    if cfg.train.resume and ckpt_latest.latest_step() is not None:
+        last_epoch = ckpt_latest.latest_step()
+        extra = ckpt_latest.load_extra(last_epoch) or {}
+        start_epoch = last_epoch + 1
+        step = int(extra.get("step", 0))
+        best_val = float(extra.get("best_val", np.inf))
+        patience = int(extra.get("patience", 0))
+        resume_state_raw = ckpt_latest.restore_raw(last_epoch)
+        to_tree = lambda t, like: jax.tree_util.tree_map(
+            lambda _, v: jnp.asarray(v), like, t)
+        params = to_tree(resume_state_raw["params"], params)
+        best_params = to_tree(resume_state_raw["best_params"], best_params)
+        log.info("Resuming at epoch %d (step %d)", start_epoch, step)
+
+    for epoch in range(start_epoch, n_epochs_total):
         stage = find_cur_stage(cfg.train.num_epochs_list, epoch) if sequ \
             else len(cfg.train.num_epochs_list) - 1
         n = (stage + 1) if sequ else n_levels
@@ -144,9 +166,24 @@ def train(cfg: Config):
             else:
                 labels = freezing.all_train_labels(params)
             tx = trainer.make_optimizer(cfg.train.lr, labels=labels)
-            rng, s_rng = jax.random.split(rng)
+            s_rng = jax.random.fold_in(rng, 10_000 + stage)
             state = trainer.TrainState.create(params, s_rng,
                                               tx.init(params), ema=False)
+            if (resume_state_raw is not None
+                    and find_cur_stage(cfg.train.num_epochs_list,
+                                       max(start_epoch - 1, 0)) == stage):
+                # mid-stage resume: optimizer moments and the per-step PRNG
+                # chain continue (at a stage boundary the uninterrupted run
+                # re-inits them fresh)
+                restored = ckpt_latest.restore(start_epoch - 1, {
+                    "params": state.params, "opt_state": state.opt_state,
+                    "rng": state.rng, "step": state.step,
+                    "best_params": best_params})
+                state = state.replace(
+                    params=restored["params"],
+                    opt_state=restored["opt_state"], rng=restored["rng"],
+                    step=restored["step"])
+            resume_state_raw = None
 
             def loss_fn(p, step_rng, batch, n=n, nd=n_downsample):
                 x, y = batch
@@ -179,6 +216,8 @@ def train(cfg: Config):
                      stage, epoch, n, n_downsample)
 
         shuffle_rng = np.random.default_rng(cfg.train.seed * 1000 + epoch)
+        # epoch-keyed augmentation randomness: identical under resume
+        aug_rng = np.random.default_rng((cfg.train.seed, 7, epoch))
         for bx, by in loader_lib.epoch_batches([tr_x, tr_y],
                                                cfg.data.batch_size,
                                                shuffle_rng, drop_last=False):
@@ -226,6 +265,19 @@ def train(cfg: Config):
                         and patience >= cfg.train.early_stop_patience):
                     log.info("Early stopping at epoch %d", epoch)
                     break
+
+        # ---- epoch-granular full-state checkpoint (resume point)
+        ckpt_latest.save(epoch, {
+            "params": state.params, "opt_state": state.opt_state,
+            "rng": state.rng, "step": state.step,
+            "best_params": best_params},
+            extra={"step": step, "best_val": float(best_val),
+                   "patience": int(patience)})
+        if (cfg.train.stop_after_epochs
+                and epoch + 1 >= start_epoch + cfg.train.stop_after_epochs):
+            log.info("Stopping after %d epochs (graceful preemption)",
+                     epoch + 1)
+            break
 
     # final test with best params (``train_pt.py:662-666``)
     test_loss, sweep, _, _ = evaluate(cfg, predict_fn, best_params,

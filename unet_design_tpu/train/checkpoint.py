@@ -77,6 +77,18 @@ class CheckpointManager:
         new_leaves = [data[str(i)] for i in range(len(leaves))]
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore the saved tree as plain nested containers of arrays,
+        without a target structure (for partial use, e.g. params/EMA only —
+        optimizer states need :meth:`restore` with a typed target)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        if self._mgr is not None:
+            return self._mgr.restore(step)
+        raise NotImplementedError(
+            "restore_raw requires orbax (the npz fallback stores no treedef)")
+
     def load_extra(self, step: int) -> Optional[Dict[str, Any]]:
         path = os.path.join(self.directory, f"extra_{step}.json")
         if os.path.exists(path):
