@@ -562,15 +562,32 @@ def _fourier_resblock_from_torch(sd, prefix):
     return out
 
 
+def _attn_from_torch(sd, prefix):
+    """AttentionBlock: projection/output Linears (twod_unet.py:147-150);
+    the constructed GroupNorm is never used in forward (:158-181)."""
+    return {"Dense_0": {
+                "kernel": jnp.asarray(sd[f"{prefix}.projection.weight"]
+                                      .numpy().T),
+                "bias": jnp.asarray(sd[f"{prefix}.projection.bias"].numpy())},
+            "Dense_1": {
+                "kernel": jnp.asarray(sd[f"{prefix}.output.weight"]
+                                      .numpy().T),
+                "bias": jnp.asarray(sd[f"{prefix}.output.bias"].numpy())}}
+
+
 def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0,
-                                   fourier_up=0):
+                                   fourier_up=0,
+                                   is_attn=None, mid_attn=False):
     """Map the reference modern-Unet flat ModuleLists onto our named tree."""
+    is_attn = is_attn or (False,) * len(ch_mults)
     sd = ref.state_dict()
     new = {"image_proj": _conv_from_torch(sd, "image_proj"),
            "final": _conv_from_torch(sd, "final"),
            "GroupNorm_0": _gn_from_torch(sd, "norm"),
            "middle_res1": _modern_resblock_from_torch(sd, "middle.res1"),
            "middle_res2": _modern_resblock_from_torch(sd, "middle.res2")}
+    if mid_attn:
+        new["middle_attn"] = _attn_from_torch(sd, "middle.attn")
     n_res = len(ch_mults)
     idx = our = 0
     for lvl in range(n_res):
@@ -581,6 +598,9 @@ def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0,
             else:
                 new[f"down_{our}"] = _modern_resblock_from_torch(
                     sd, f"down.{idx}.res")
+            if is_attn[lvl]:
+                new[f"down_{our}_attn"] = _attn_from_torch(
+                    sd, f"down.{idx}.attn")
             idx += 1
             our += 1
         if lvl < n_res - 1:
@@ -599,6 +619,9 @@ def _modern_unet_params_from_torch(ref, ch_mults, n_blocks, fourier_down=0,
             else:
                 new[f"up_{our}"] = _modern_resblock_from_torch(
                     sd, f"up.{idx}.res")
+            if is_attn[lvl]:
+                new[f"up_{our}_attn"] = _attn_from_torch(
+                    sd, f"up.{idx}.attn")
             idx += 1
             our += 1
         if lvl > 0:
@@ -662,6 +685,54 @@ def test_modern_unet_full_forward_matches_reference_execution(
     y = ours.apply({"params": new}, x_nhwc)
     np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 1, 4, 2, 3)),
                                ref_out, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("softmax_axis", ["queries", "keys"])
+def test_modern_unet_attention_matches_reference_execution(softmax_axis):
+    """Attention-model parity (the Unetmodattn/U-FNet2attn family): with
+    ``attn_softmax_axis='queries'`` our AttentionBlock reproduces the
+    reference's ``attn.softmax(dim=1)`` over queries (twod_unet.py:170)
+    exactly, full-model transplant; with the default ``'keys'`` (standard
+    attention) the outputs measurably differ — evidence that the deviation
+    is real and the flag closes it."""
+    _stub_wavelets()
+    sys.path.insert(0, str(REF / "pdearena"))
+    try:
+        import pdearena.modules.twod_unet as ref_mod
+    finally:
+        sys.path.pop(0)
+    from unet_design_tpu.models.modern_unet import ModernUnet
+
+    torch.manual_seed(5)
+    ch_mults, n_blocks, is_attn = (1, 2), 1, (True, False)
+    ref = ref_mod.Unet(1, 1, 1, 1, time_history=2, time_future=1,
+                       hidden_channels=8, activation="gelu",
+                       norm=True, ch_mults=ch_mults, is_attn=is_attn,
+                       mid_attn=True, n_blocks=n_blocks)
+    ref.eval()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    ours = ModernUnet(n_output_fields=3, time_future=1, hidden_channels=8,
+                      ch_mults=ch_mults, n_blocks=n_blocks, norm=True,
+                      activation="gelu", is_attn=is_attn, mid_attn=True,
+                      attn_softmax_axis=softmax_axis)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+    new = _modern_unet_params_from_torch(ref, ch_mults, n_blocks,
+                                         is_attn=is_attn, mid_attn=True)
+    jax.tree_util.tree_map(lambda a, b: None, params, new)  # same structure
+
+    y = np.transpose(np.asarray(ours.apply({"params": new}, x_nhwc)),
+                     (0, 1, 4, 2, 3))
+    if softmax_axis == "queries":
+        np.testing.assert_allclose(y, ref_out, rtol=1e-4, atol=1e-4)
+    else:
+        assert np.abs(y - ref_out).max() > 1e-3, (
+            "keys-mode unexpectedly matches the reference: the softmax-axis "
+            "deviation has disappeared")
 
 
 @pytest.mark.parametrize("block", ["basic", "dilated", "fourier"])

@@ -297,6 +297,39 @@ def rollout_eval_trajectories(opener) -> Iterator[Tuple[np.ndarray, ...]]:
         yield u, v, cond
 
 
+class CachedOpener:
+    """RAM-resident wrapper around any trajectory opener.
+
+    The reference's torchdata pipes re-open and re-read the HDF5 files every
+    epoch (``datapipes/common.py:69-96``) — fine with many dataloader
+    workers, but this host has ONE core and the TPU consumes batches faster
+    than h5py can re-decode them.  Reading each file once (bulk sequential
+    read) and serving numpy views afterwards makes the input pipeline free.
+    """
+
+    def __init__(self, opener):
+        self._trajs = list(opener)
+
+    def __iter__(self):
+        return iter(self._trajs)
+
+    def __len__(self):
+        return len(self._trajs)
+
+    def n_trajectories(self) -> int:
+        return len(self._trajs)
+
+    def stacked_fields(self) -> np.ndarray:
+        """(N, T, H, W, C_scalar + 2*C_vector) — scalar fields then vector
+        fields, the ``create_data2d`` input order — for device-resident
+        window gathering."""
+        parts = []
+        for (u, v, _) in self._trajs:
+            f = np.concatenate([u, v], axis=-1) if v is not None else u
+            parts.append(f)
+        return np.stack(parts)
+
+
 def batched_windows(window_iter, batch_size: int
                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     xs, ys = [], []

@@ -35,6 +35,14 @@ def rollout_mse_per_step(pred_traj: jnp.ndarray, target_traj: jnp.ndarray
     return jnp.mean((pred_traj - target_traj) ** 2, axis=(0, 2, 3, 4))
 
 
+def rollout_mse_per_sample_step(pred_traj: jnp.ndarray,
+                                target_traj: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`rollout_mse_per_step` but keeps the batch axis -> (B, T),
+    so whole batches of trajectories roll out in one device call while the
+    per-trajectory bootstrap statistics stay identical."""
+    return jnp.mean((pred_traj - target_traj) ** 2, axis=(2, 3, 4))
+
+
 def unrolled_summaries(loss_vec: jnp.ndarray) -> dict:
     """unrolled_loss (sum over steps), cumulative per-step, channel-avg
     (``pdemodel.py:417-427``)."""

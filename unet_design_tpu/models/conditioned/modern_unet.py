@@ -135,6 +135,8 @@ class CondModernUnet(nn.Module):
     mode_scaling: bool = True
     param_conditioning: Optional[str] = None
     use_scale_shift_norm: bool = False
+    # 'keys' = standard attention; 'queries' = reference softmax(dim=1)
+    attn_softmax_axis: str = "keys"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -177,7 +179,8 @@ class CondModernUnet(nn.Module):
                     h = CondResidualBlock(out_ch, **common_kw,
                                           name=f"down_{bidx}")(h, emb)
                 if self.is_attn[i]:
-                    h = blocks.AttentionBlock(dtype=self.dtype,
+                    h = blocks.AttentionBlock(softmax_axis=self.attn_softmax_axis,
+                                              dtype=self.dtype,
                                               name=f"down_{bidx}_attn")(h)
                 in_ch = out_ch
                 bidx += 1
@@ -192,7 +195,8 @@ class CondModernUnet(nn.Module):
 
         h = CondResidualBlock(in_ch, **common_kw, name="middle_res1")(h, emb)
         if self.mid_attn:
-            h = blocks.AttentionBlock(dtype=self.dtype, name="middle_attn")(h)
+            h = blocks.AttentionBlock(softmax_axis=self.attn_softmax_axis,
+                                              dtype=self.dtype, name="middle_attn")(h)
         h = CondResidualBlock(in_ch, **common_kw, name="middle_res2")(h, emb)
 
         bidx = 0
@@ -206,7 +210,8 @@ class CondModernUnet(nn.Module):
                 h = CondResidualBlock(out_ch, **common_kw,
                                       name=f"up_{bidx}")(h, emb)
                 if self.is_attn[i]:
-                    h = blocks.AttentionBlock(dtype=self.dtype,
+                    h = blocks.AttentionBlock(softmax_axis=self.attn_softmax_axis,
+                                              dtype=self.dtype,
                                               name=f"up_{bidx}_attn")(h)
                 bidx += 1
             in_ch = out_ch

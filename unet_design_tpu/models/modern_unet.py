@@ -83,6 +83,9 @@ class ModernUnet(nn.Module):
     modes1: int = 12
     modes2: int = 12
     mode_scaling: bool = True
+    # 'keys' = standard attention (default); 'queries' = the reference's
+    # softmax(dim=1) over queries (twod_unet.py:170) for exact parity
+    attn_softmax_axis: str = "keys"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,7 +115,8 @@ class ModernUnet(nn.Module):
                                              self.norm, dtype=self.dtype,
                                              name=f"down_{bidx}")(h)
                 if self.is_attn[i]:
-                    h = blocks.AttentionBlock(dtype=self.dtype,
+                    h = blocks.AttentionBlock(softmax_axis=self.attn_softmax_axis,
+                                              dtype=self.dtype,
                                               name=f"down_{bidx}_attn")(h)
                 in_ch = out_ch
                 bidx += 1
@@ -129,7 +133,8 @@ class ModernUnet(nn.Module):
         h = blocks.ResidualBlock(in_ch, self.activation, self.norm,
                                  dtype=self.dtype, name="middle_res1")(h)
         if self.mid_attn:
-            h = blocks.AttentionBlock(dtype=self.dtype, name="middle_attn")(h)
+            h = blocks.AttentionBlock(softmax_axis=self.attn_softmax_axis,
+                                              dtype=self.dtype, name="middle_attn")(h)
         h = blocks.ResidualBlock(in_ch, self.activation, self.norm,
                                  dtype=self.dtype, name="middle_res2")(h)
 
@@ -150,7 +155,8 @@ class ModernUnet(nn.Module):
                                              self.norm, dtype=self.dtype,
                                              name=f"up_{bidx}")(h)
                 if self.is_attn[i]:
-                    h = blocks.AttentionBlock(dtype=self.dtype,
+                    h = blocks.AttentionBlock(softmax_axis=self.attn_softmax_axis,
+                                              dtype=self.dtype,
                                               name=f"up_{bidx}_attn")(h)
                 bidx += 1
             out_ch = in_ch // self.ch_mults[i]
@@ -159,7 +165,8 @@ class ModernUnet(nn.Module):
             h = blocks.ResidualBlock(out_ch, self.activation, self.norm,
                                      dtype=self.dtype, name=f"up_{bidx}")(h)
             if self.is_attn[i]:
-                h = blocks.AttentionBlock(dtype=self.dtype,
+                h = blocks.AttentionBlock(softmax_axis=self.attn_softmax_axis,
+                                              dtype=self.dtype,
                                           name=f"up_{bidx}_attn")(h)
             bidx += 1
             in_ch = out_ch

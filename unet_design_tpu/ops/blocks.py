@@ -179,26 +179,34 @@ class ResidualBlock(nn.Module):
 class AttentionBlock(nn.Module):
     """Multi-head spatial self-attention (``twod_unet.py:126-181``).
 
-    Note: the reference normalizes attention over the *query* axis
-    (``attn.softmax(dim=1)``), which we read as a transcription slip of the
-    annotated-DDPM source; we normalize over keys (standard attention).
+    ``softmax_axis`` controls the normalization axis of the attention
+    weights.  The reference normalizes over the *query* axis
+    (``attn.softmax(dim=1)``, ``twod_unet.py:170``), which we read as a
+    transcription slip of the annotated-DDPM source — but the reference
+    *trained and published* with it, so ``'queries'`` reproduces the
+    reference bit-for-bit (transplant-parity-tested) while the default
+    ``'keys'`` is standard attention.
     """
 
     n_heads: int = 1
     d_k: Optional[int] = None
     n_groups: int = 1
+    softmax_axis: str = "keys"   # 'keys' (standard) | 'queries' (reference)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         d_k = self.d_k or c
+        assert self.softmax_axis in ("keys", "queries"), self.softmax_axis
+        axis = 2 if self.softmax_axis == "keys" else 1
         seq = x.reshape(b, h * w, c)
         qkv = nn.Dense(self.n_heads * d_k * 3, dtype=self.dtype)(seq)
         qkv = qkv.reshape(b, h * w, self.n_heads, 3 * d_k)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = jnp.einsum("bihd,bjhd->bijh", q, k) * (d_k ** -0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=2).astype(self.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=axis).astype(self.dtype)
         res = jnp.einsum("bijh,bjhd->bihd", attn, v)
         res = res.reshape(b, h * w, self.n_heads * d_k)
         res = nn.Dense(c, dtype=self.dtype)(res)

@@ -67,6 +67,15 @@ class DataConfig:
     # datapipe's ``cycle(trajlen)`` semantics (datapipes/common.py:69-96).
     # Set 1 for quick smoke runs (14x shorter epochs at trajlen=14).
     train_cycles: Optional[int] = None
+    # read each trajectory file once and serve numpy views (this host has a
+    # single core; the reference's re-read-every-epoch pipes would starve
+    # the TPU)
+    cache_in_memory: bool = True
+    # stage the WHOLE train set in device HBM and gather windows inside the
+    # jitted step — the host then ships only (traj_idx, start) integers per
+    # batch.  Auto-disabled above device_cache_max_bytes.
+    device_cache: bool = True
+    device_cache_max_bytes: int = 8_000_000_000
 
 
 @dataclasses.dataclass
@@ -78,6 +87,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     criterion: str = "mse"           # mse | scaledl2
     warmup_epochs: int = 0           # >0 enables LinearWarmupCosine
+    eta_min: float = 0.0             # cosine floor (README recipe: 1e-7)
     freeze_lower_res: bool = False
     seed: int = 0
     val_every_epochs: int = 1
@@ -149,6 +159,17 @@ def is_g_model(name: str) -> bool:
     return name.endswith("_G")
 
 
+def _gather_windows(fields: jnp.ndarray, idx: jnp.ndarray,
+                    starts: jnp.ndarray, th: int, tf: int, tg: int):
+    """Device-side ``create_data2d`` (``data/utils.py:17-71`` semantics):
+    x = frames [s, s+th), y = frames [s+th+tg, s+th+tg+tf), gathered from
+    the HBM-resident dataset so the input pipeline costs the host nothing."""
+    def one(i, s):
+        w = jax.lax.dynamic_slice_in_dim(fields[i], s, th + tg + tf, axis=0)
+        return w[:th], w[th + tg:]
+    return jax.vmap(one)(idx, starts)
+
+
 def train(cfg: Config):
     rng = jax.random.PRNGKey(cfg.train.seed)
     pde = pde_config(cfg.data)
@@ -183,20 +204,37 @@ def train(cfg: Config):
     cycles = (cfg.data.train_cycles if cfg.data.train_cycles is not None
               else pde.trajlen)
 
+    train_opener = open_trajectories(cfg.data, "train")
+    valid_opener = open_trajectories(cfg.data, "valid")
+    if cfg.data.cache_in_memory:
+        train_opener = pde_data.CachedOpener(train_opener)
+        valid_opener = pde_data.CachedOpener(valid_opener)
+    fields_dev = None
+    if cfg.data.device_cache and hasattr(train_opener, "stacked_fields"):
+        stacked = train_opener.stacked_fields()
+        if stacked.nbytes <= cfg.data.device_cache_max_bytes:
+            fields_dev = jnp.asarray(stacked)   # one bulk H2D upload
+            log.info("Train set staged in device HBM: %s (%.2f GB)",
+                     stacked.shape, stacked.nbytes / 1e9)
+        else:
+            log.warning("device_cache disabled: %.2f GB > max %.2f GB",
+                        stacked.nbytes / 1e9,
+                        cfg.data.device_cache_max_bytes / 1e9)
+        del stacked
+
     def count_trajectories() -> int:
-        opener = open_trajectories(cfg.data, "train")
         try:
-            return opener.n_trajectories()
+            return train_opener.n_trajectories()
         except AttributeError:
             pass
         try:
-            return len(opener)
+            return len(train_opener)
         except TypeError:
             raise ValueError(
                 "cannot determine steps/epoch for the LR schedule: train "
                 "opener has neither n_trajectories() nor __len__ "
-                f"({type(opener).__name__}); the warmup-cosine schedule "
-                "would be silently distorted")
+                f"({type(train_opener).__name__}); the warmup-cosine "
+                "schedule would be silently distorted")
 
     lr = cfg.train.lr
     if cfg.train.warmup_epochs > 0:
@@ -206,7 +244,7 @@ def train(cfg: Config):
         steps_per_epoch = max(1, -(-n_windows // cfg.data.batch_size))
         lr = schedules.linear_warmup_cosine_annealing(
             cfg.train.lr, cfg.train.warmup_epochs, n_epochs_total,
-            steps_per_epoch=steps_per_epoch)
+            eta_min=cfg.train.eta_min, steps_per_epoch=steps_per_epoch)
 
     # Full-fidelity resume: params, BatchNorm stats, optimizer moments,
     # schedule position (opt count), per-step PRNG and best-val marker all
@@ -277,7 +315,14 @@ def train(cfg: Config):
 
             def loss_fn(p, mstate, step_rng, batch, n=n_levels_used,
                         nd=n_downsample):
-                x, y = batch
+                if fields_dev is not None:
+                    # HBM-resident dataset: batch is (fields, idx, starts);
+                    # fields enters as an argument, not a closure constant
+                    # (constants bloat the remote-compile payload)
+                    fields, idx, starts = batch
+                    x, y = _gather_windows(fields, idx, starts, th, tf, tg)
+                else:
+                    x, y = batch
                 new_mstate = mstate
                 if sequ and nd > 0:
                     x = wavelet.haar_downsample_traj(x, nd)
@@ -329,17 +374,36 @@ def train(cfg: Config):
                      stage, epoch, n_levels_used, n_downsample)
 
         # ---- train epoch
-        opener = open_trajectories(cfg.data, "train")
-        windows = pde_data.randomized_train_windows(
-            opener, pde, th, tf, tg, seed=cfg.train.seed + epoch,
-            cycles=cycles)
         epoch_losses = []
-        for bx, by in pde_data.batched_windows(windows, cfg.data.batch_size):
-            state, loss, aux = step_fn(state, (jnp.asarray(bx),
-                                               jnp.asarray(by)))
-            epoch_losses.append(float(loss))
-            step += 1
+        if fields_dev is not None:
+            # device-side window gathering: the host ships two int32 vectors
+            # per step; losses are fetched once per epoch so dispatch can
+            # run ahead of the device
+            ep_rng = np.random.default_rng(cfg.train.seed + epoch)
+            mst = pde_data.max_start_time(pde.trajlen, th, tf, tg)
+            idx_stream = np.tile(np.arange(fields_dev.shape[0]), cycles)
+            starts = ep_rng.integers(0, mst + 1, size=idx_stream.size)
+            bs = cfg.data.batch_size
+            for s in range(0, idx_stream.size - bs + 1, bs):
+                state, loss, aux = step_fn(
+                    state, (fields_dev,
+                            jnp.asarray(idx_stream[s:s + bs], jnp.int32),
+                            jnp.asarray(starts[s:s + bs], jnp.int32)))
+                epoch_losses.append(loss)
+                step += 1
+        else:
+            windows = pde_data.randomized_train_windows(
+                train_opener, pde, th, tf, tg, seed=cfg.train.seed + epoch,
+                cycles=cycles)
+            for bx, by in pde_data.batched_windows(windows,
+                                                   cfg.data.batch_size):
+                state, loss, aux = step_fn(state, (jnp.asarray(bx),
+                                                   jnp.asarray(by)))
+                epoch_losses.append(loss)
+                step += 1
         if epoch_losses:
+            epoch_losses = [float(x)
+                            for x in np.asarray(jnp.stack(epoch_losses))]
             mean, std = eval_metrics.bootstrap(np.asarray(epoch_losses))
             metrics_logger.log({"train/loss_mean": mean,
                                 "train/loss_std": std,
@@ -352,7 +416,7 @@ def train(cfg: Config):
         if (epoch + 1) % cfg.train.val_every_epochs == 0:
             val = validate(cfg, model, params, model_state, pde,
                            n_levels_used, n_downsample if sequ else 0,
-                           eval_fn)
+                           eval_fn, valid_opener)
             metrics_logger.log(val, step)
             if val.get("valid/unrolled_loss_mean", np.inf) < best_val:
                 best_val = val["valid/unrolled_loss_mean"]
@@ -377,11 +441,12 @@ def train(cfg: Config):
 
 
 def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
-             n_downsample, eval_fn):
+             n_downsample, eval_fn, opener=None):
     th, tf, tg = (cfg.data.time_history, cfg.data.time_future,
                   cfg.data.time_gap)
+    if opener is None:
+        opener = open_trajectories(cfg.data, "valid")
     # one-step
-    opener = open_trajectories(cfg.data, "valid")
     one_step = {}
     count = 0
     for bx, by in pde_data.batched_windows(
@@ -413,15 +478,18 @@ def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
     rollout_jit = lambda u, v: _rollout_jit(params, model_state, u, v)
 
     unrolled = []
-    opener = open_trajectories(cfg.data, "valid")
-    for (u, v, cond) in pde_data.rollout_eval_trajectories(opener):
-        u = jnp.asarray(u)[None]
-        v = jnp.asarray(v)[None] if v is not None else None
+    max_start = (pde.trajlen - th - tf * cfg.data.max_num_steps - tg)
+
+    def rollout_batch(u_list, v_list):
+        """All rollout starts for a whole batch of trajectories; returns one
+        per-trajectory unrolled loss each (sum over steps of the mean over
+        starts — identical statistics to per-trajectory evaluation)."""
+        u = jnp.asarray(np.stack(u_list))
+        v = jnp.asarray(np.stack(v_list)) if v_list[0] is not None else None
         if n_downsample:
             u = wavelet.haar_downsample_traj(u, n_downsample)
             v = (wavelet.haar_downsample_traj(v, n_downsample)
                  if v is not None else None)
-        max_start = (pde.trajlen - th - tf * cfg.data.max_num_steps - tg)
         losses_t = []
         for start in range(0, max_start + 1, tf + tg):
             init_u = u[:, start:start + th]
@@ -431,10 +499,22 @@ def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
             t1 = t0 + tf * cfg.data.max_num_steps
             target = (jnp.concatenate([u[:, t0:t1], v[:, t0:t1]], axis=-1)
                       if v is not None else u[:, t0:t1])
-            losses_t.append(eval_metrics.rollout_mse_per_step(pred, target))
-        if losses_t:
-            unrolled.append(float(jnp.sum(jnp.mean(jnp.stack(losses_t),
-                                                   axis=0))))
+            losses_t.append(
+                eval_metrics.rollout_mse_per_sample_step(pred, target))
+        if not losses_t:
+            return []
+        per_sample = jnp.sum(jnp.mean(jnp.stack(losses_t), axis=0), axis=-1)
+        return [float(x) for x in np.asarray(per_sample)]
+
+    u_buf, v_buf = [], []
+    for (u, v, cond) in pde_data.rollout_eval_trajectories(opener):
+        u_buf.append(u)
+        v_buf.append(v)
+        if len(u_buf) == cfg.data.batch_size:
+            unrolled.extend(rollout_batch(u_buf, v_buf))
+            u_buf, v_buf = [], []
+    if u_buf:
+        unrolled.extend(rollout_batch(u_buf, v_buf))
     if unrolled:
         mean, std = eval_metrics.bootstrap(np.asarray(unrolled))
         result["valid/unrolled_loss_mean"] = mean
