@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import partial
 from typing import Iterator, List, Optional, Tuple
 
 import jax
@@ -209,13 +210,20 @@ def train(cfg: Config):
     if cfg.data.cache_in_memory:
         train_opener = pde_data.CachedOpener(train_opener)
         valid_opener = pde_data.CachedOpener(valid_opener)
-    fields_dev = None
+    fields_dev = valid_fields_dev = None
     if cfg.data.device_cache and hasattr(train_opener, "stacked_fields"):
         stacked = train_opener.stacked_fields()
         if stacked.nbytes <= cfg.data.device_cache_max_bytes:
             fields_dev = jnp.asarray(stacked)   # one bulk H2D upload
             log.info("Train set staged in device HBM: %s (%.2f GB)",
                      stacked.shape, stacked.nbytes / 1e9)
+            vstacked = valid_opener.stacked_fields()
+            if (stacked.nbytes + vstacked.nbytes
+                    <= cfg.data.device_cache_max_bytes):
+                valid_fields_dev = jnp.asarray(vstacked)
+                log.info("Valid set staged in device HBM: %s (%.2f GB)",
+                         vstacked.shape, vstacked.nbytes / 1e9)
+            del vstacked
         else:
             log.warning("device_cache disabled: %.2f GB > max %.2f GB",
                         stacked.nbytes / 1e9,
@@ -353,6 +361,21 @@ def train(cfg: Config):
 
             step_fn = trainer.make_train_step(loss_fn, tx,
                                               has_model_state=True, jit=True)
+            raw_step = trainer.make_train_step(loss_fn, tx,
+                                               has_model_state=True,
+                                               jit=False)
+
+            # Whole-epoch lax.scan over the HBM-resident dataset: ONE device
+            # call per epoch.  Per-step dispatch through the tunneled axon
+            # backend costs ~300 ms/step in round trips; scanning the train
+            # step removes the host from the hot loop entirely.
+            @partial(jax.jit, donate_argnums=(0,), static_argnums=())
+            def epoch_fn(state, fields, idxs, starts):
+                def body(st, inp):
+                    i, s = inp
+                    st, loss, _aux = raw_step(st, (fields, i, s))
+                    return st, loss
+                return jax.lax.scan(body, state, (idxs, starts))
 
             @jax.jit
             def eval_fn(p, batch, n=n_levels_used, nd=n_downsample):
@@ -376,21 +399,21 @@ def train(cfg: Config):
         # ---- train epoch
         epoch_losses = []
         if fields_dev is not None:
-            # device-side window gathering: the host ships two int32 vectors
-            # per step; losses are fetched once per epoch so dispatch can
-            # run ahead of the device
+            # device-side window gathering; the whole epoch is one scanned
+            # device call (idxs/starts are two small int32 uploads)
             ep_rng = np.random.default_rng(cfg.train.seed + epoch)
             mst = pde_data.max_start_time(pde.trajlen, th, tf, tg)
             idx_stream = np.tile(np.arange(fields_dev.shape[0]), cycles)
             starts = ep_rng.integers(0, mst + 1, size=idx_stream.size)
             bs = cfg.data.batch_size
-            for s in range(0, idx_stream.size - bs + 1, bs):
-                state, loss, aux = step_fn(
-                    state, (fields_dev,
-                            jnp.asarray(idx_stream[s:s + bs], jnp.int32),
-                            jnp.asarray(starts[s:s + bs], jnp.int32)))
-                epoch_losses.append(loss)
-                step += 1
+            n_steps = idx_stream.size // bs
+            idxs = jnp.asarray(
+                idx_stream[:n_steps * bs].reshape(n_steps, bs), jnp.int32)
+            sts = jnp.asarray(
+                starts[:n_steps * bs].reshape(n_steps, bs), jnp.int32)
+            state, losses = epoch_fn(state, fields_dev, idxs, sts)
+            epoch_losses = np.asarray(losses)   # one fetch per epoch
+            step += n_steps
         else:
             windows = pde_data.randomized_train_windows(
                 train_opener, pde, th, tf, tg, seed=cfg.train.seed + epoch,
@@ -401,10 +424,11 @@ def train(cfg: Config):
                                                    jnp.asarray(by)))
                 epoch_losses.append(loss)
                 step += 1
-        if epoch_losses:
-            epoch_losses = [float(x)
-                            for x in np.asarray(jnp.stack(epoch_losses))]
-            mean, std = eval_metrics.bootstrap(np.asarray(epoch_losses))
+        if len(epoch_losses):
+            if not isinstance(epoch_losses, np.ndarray):
+                epoch_losses = np.asarray(jnp.stack(epoch_losses))
+            mean, std = eval_metrics.bootstrap(epoch_losses.astype(
+                np.float64))
             metrics_logger.log({"train/loss_mean": mean,
                                 "train/loss_std": std,
                                 "epoch": epoch}, step)
@@ -414,9 +438,15 @@ def train(cfg: Config):
 
         # ---- validation (one-step + rollout)
         if (epoch + 1) % cfg.train.val_every_epochs == 0:
-            val = validate(cfg, model, params, model_state, pde,
-                           n_levels_used, n_downsample if sequ else 0,
-                           eval_fn, valid_opener)
+            if valid_fields_dev is not None:
+                val = validate_device(cfg, model, params, model_state, pde,
+                                      n_levels_used,
+                                      n_downsample if sequ else 0,
+                                      valid_fields_dev)
+            else:
+                val = validate(cfg, model, params, model_state, pde,
+                               n_levels_used, n_downsample if sequ else 0,
+                               eval_fn, valid_opener)
             metrics_logger.log(val, step)
             if val.get("valid/unrolled_loss_mean", np.inf) < best_val:
                 best_val = val["valid/unrolled_loss_mean"]
@@ -438,6 +468,110 @@ def train(cfg: Config):
 
     metrics_logger.close()
     return state
+
+
+def validate_device(cfg: Config, model, params, model_state, pde,
+                    n_levels_used, n_downsample, fields_dev):
+    """Device-resident validation: identical statistics to :func:`validate`
+    but the eval set lives in HBM and both the one-step sweep and the
+    rollout sweep run as scanned device calls (per-batch dispatch through
+    the tunneled backend costs ~300 ms in round trips alone)."""
+    th, tf, tg = (cfg.data.time_history, cfg.data.time_future,
+                  cfg.data.time_gap)
+    g_model = is_g_model(cfg.model.name)
+    has_mstate = bool(model_state)
+    n_sc = pde.n_scalar_components
+    n_traj = fields_dev.shape[0]
+    bs = cfg.data.batch_size
+    nd = n_downsample
+
+    def apply_model(p, ms, x):
+        if g_model:
+            pred = model.apply({"params": p}, x, n_levels_used=n_levels_used)
+            return pred[-1] if cfg.model.multi_res_loss else pred
+        if has_mstate:
+            return model.apply({"params": p, **ms}, x)
+        return model.apply({"params": p}, x)
+
+    # ---- one-step sweep: same window stream as eval_timestep_windows +
+    # batched_windows (start-major, trajectory-minor, global tail dropped)
+    mst = pde_data.max_start_time(pde.trajlen, th, tf, tg)
+    starts_1 = list(range(0, mst + 1, tf + tg))
+    idx_stream = np.tile(np.arange(n_traj), len(starts_1))
+    start_stream = np.repeat(np.asarray(starts_1), n_traj)
+    n_b = idx_stream.size // bs
+
+    @jax.jit
+    def one_step_scan(p, ms, fields, idxs, sts):
+        def body(carry, inp):
+            i, s = inp
+            x, y = _gather_windows(fields, i, s, th, tf, tg)
+            if nd > 0:
+                x = wavelet.haar_downsample_traj(x, nd)
+                y = wavelet.haar_downsample_traj(y, nd)
+            pred = apply_model(p, ms, x)
+            return carry, {"mse": losses_lib.custom_mse_loss(pred, y),
+                           "scaledl2": losses_lib.scaledlp_loss(pred, y)}
+        _, outs = jax.lax.scan(body, 0, (idxs, sts))
+        return {k: jnp.mean(v) for k, v in outs.items()}
+
+    result = {}
+    if n_b:
+        outs = one_step_scan(
+            params, model_state, fields_dev,
+            jnp.asarray(idx_stream[:n_b * bs].reshape(n_b, bs), jnp.int32),
+            jnp.asarray(start_stream[:n_b * bs].reshape(n_b, bs), jnp.int32))
+        result = {f"valid/loss/{k}": float(v) for k, v in outs.items()}
+
+    # ---- rollout sweep: per-trajectory unrolled loss, whole batches per
+    # scan step, all rollout starts unrolled inside the jit
+    max_start = pde.trajlen - th - tf * cfg.data.max_num_steps - tg
+    starts_r = list(range(0, max_start + 1, tf + tg))
+
+    @jax.jit
+    def rollout_scan(p, ms, fields, idxs):
+        def model_fn(window):
+            return apply_model(p, ms, window)
+
+        def body(carry, i):
+            f = fields[i]
+            if nd > 0:
+                f = wavelet.haar_downsample_traj(f, nd)
+            u = f[..., :n_sc]
+            v = f[..., n_sc:] if f.shape[-1] > n_sc else None
+            ls = []
+            for start in starts_r:
+                init_u = u[:, start:start + th]
+                init_v = v[:, start:start + th] if v is not None else None
+                pred = rollout_lib.rollout2d(model_fn, init_u, init_v, th,
+                                             cfg.data.max_num_steps)
+                t0 = start + th + tg
+                t1 = t0 + tf * cfg.data.max_num_steps
+                ls.append(eval_metrics.rollout_mse_per_sample_step(
+                    pred, f[:, t0:t1]))
+            per_sample = jnp.sum(jnp.mean(jnp.stack(ls), axis=0), axis=-1)
+            return carry, per_sample
+        _, out = jax.lax.scan(body, 0, idxs)
+        return out.reshape(-1)
+
+    unrolled = []
+    if starts_r:
+        n_full = n_traj // bs
+        if n_full:
+            idxs = jnp.asarray(np.arange(n_full * bs).reshape(n_full, bs),
+                               jnp.int32)
+            unrolled.extend(np.asarray(
+                rollout_scan(params, model_state, fields_dev, idxs)))
+        if n_traj % bs:
+            tail = jnp.asarray(np.arange(n_full * bs, n_traj)[None, :],
+                               jnp.int32)
+            unrolled.extend(np.asarray(
+                rollout_scan(params, model_state, fields_dev, tail)))
+    if unrolled:
+        mean, std = eval_metrics.bootstrap(np.asarray(unrolled))
+        result["valid/unrolled_loss_mean"] = mean
+        result["valid/unrolled_loss_std"] = std
+    return result
 
 
 def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
