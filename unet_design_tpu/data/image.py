@@ -131,11 +131,15 @@ def synthetic_cifar10(n: int = 256, seed: int = 0
     return x, rng.integers(0, 10, n).astype(np.int64)
 
 
-def load_celeba64(root: str) -> np.ndarray:
-    """Reads pre-converted (N,64,64,3) arrays from .npy/.npz shards."""
+def load_celeba64(root: str, split: str = "train") -> np.ndarray:
+    """CelebA64: reads the reference's LMDB layout directly when present
+    (``diff_mnist/data.py:319-505``), else pre-converted .npy/.npz shards."""
+    if os.path.exists(os.path.join(root, f"{split}.lmdb")):
+        return load_celeba64_lmdb(root, split)
     shards = sorted(glob.glob(os.path.join(root, "*.np[yz]")))
     if not shards:
-        raise FileNotFoundError(f"No CelebA shards under {root}")
+        raise FileNotFoundError(
+            f"No CelebA {split}.lmdb or .npy/.npz shards under {root}")
     parts = []
     for s in shards:
         a = np.load(s)
@@ -143,6 +147,59 @@ def load_celeba64(root: str) -> np.ndarray:
     x = np.concatenate(parts).astype(np.float32)
     if x.max() > 1.5:
         x = x / 255.0
+    return (x - 0.5) / 0.5
+
+
+def _celeba_decode(payload: bytes, is_encoded: bool, size: int) -> np.ndarray:
+    """One LMDB record -> (size,size,3) float32 in [0,1]: RGB decode, the
+    NVAE crop box (15,40)-(163,188), bilinear resize, ToTensor scaling
+    (``diff_mnist/data.py:429-455,484-499``)."""
+    import io
+
+    from PIL import Image
+
+    if is_encoded:
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        side = int(np.sqrt(len(arr) / 3))
+        img = Image.fromarray(arr.reshape(side, side, 3), mode="RGB")
+    img = img.crop((15, 40, 178 - 15, 218 - 30))
+    img = img.resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def load_celeba64_lmdb(root: str, split: str = "train", size: int = 64,
+                       is_encoded: bool = True,
+                       limit: Optional[int] = None) -> np.ndarray:
+    """Read the reference's CelebA64 LMDB (keys b'0', b'1', ... holding
+    encoded images; ``diff_mnist/data.py:472-505``) into a normalized
+    (N,size,size,3) array in [-1,1] (``get_celeba_datasets`` keeps [0,1]
+    floats; the train driver's [-1,1] normalization is folded in here like
+    the npy-shard path does).  Requires the optional ``lmdb`` package."""
+    try:
+        import lmdb
+    except ImportError as e:  # pragma: no cover - exercised via stub
+        raise ImportError(
+            "the 'lmdb' package is required to read CelebA64 .lmdb files; "
+            "either install it or convert once with "
+            "scripts/convert_celeba_lmdb.py and point data.root at the "
+            ".npy shards") from e
+    path = os.path.join(root, f"{split}.lmdb")
+    env = lmdb.open(path, readonly=True, max_readers=1, lock=False,
+                    readahead=False, meminit=False)
+    images = []
+    with env.begin(write=False, buffers=True) as txn:
+        n = txn.stat()["entries"]
+        if limit is not None:
+            n = min(n, limit)
+        for i in range(n):
+            payload = txn.get(str(i).encode())
+            if payload is None:
+                break
+            images.append(_celeba_decode(bytes(payload), is_encoded, size))
+    env.close()
+    x = np.stack(images)
     return (x - 0.5) / 0.5
 
 
