@@ -87,6 +87,46 @@ def test_wmh_hausdorff_and_lesions():
     assert wmh_metrics.hausdorff95(t, r) > 0
 
 
+def test_wmh_hausdorff_spacing_world_coordinates():
+    """H95 in world mm: anisotropic spacing must scale distances exactly
+    (the reference maps voxels through the NIfTI header,
+    wmh/evaluation.py:121-137)."""
+    t = np.zeros((4, 16, 16), bool)
+    r = np.zeros((4, 16, 16), bool)
+    t[1, 4:6, 4:6] = True
+    r[1, 4:6, 8:10] = True      # shifted 4 voxels along the column axis
+    base = wmh_metrics.hausdorff95(t, r)
+    # pure column shift: column spacing scales the distance linearly
+    np.testing.assert_allclose(
+        wmh_metrics.hausdorff95(t, r, spacing=(3.0, 1.0, 0.5)),
+        base * 0.5, rtol=1e-12)
+    # slice-axis displacement picks up the 3 mm slice spacing
+    r2 = np.zeros_like(t)
+    r2[2, 4:6, 4:6] = True      # one slice away
+    np.testing.assert_allclose(
+        wmh_metrics.hausdorff95(t, r2, spacing=(3.0, 1.0, 1.0)), 3.0)
+    np.testing.assert_allclose(wmh_metrics.hausdorff95(t, r2), 1.0)
+
+
+def test_loo_spacing_plumbing():
+    """default_patient_spacings covers the 60-patient challenge layout and
+    evaluate_patient threads spacing into H95."""
+    from unet_design_tpu.tasks import wmh_leave_one_out as loo
+    sp = loo.default_patient_spacings()
+    assert len(sp) == 60
+    assert sp[0] == (3.0, 0.958, 0.958)      # Utrecht
+    assert sp[25] == (3.0, 1.0, 1.0)         # Singapore
+    assert sp[45] == (1.2, 0.977, 0.977)     # GE3T
+
+    masks = np.zeros((3, 16, 16, 1), np.float32)
+    masks[1, 4:6, 4:6] = 1.0
+    images = masks.copy()
+    predict = lambda p, x: np.asarray(x)     # identity "model"
+    res = loo.evaluate_patient(predict, [None], images, masks,
+                               spacing=(3.0, 1.0, 1.0))
+    assert res["dsc"] == 1.0 and res["h95"] == 0.0
+
+
 def test_threshold_sweep():
     rng = np.random.default_rng(0)
     masks = rng.random((10, 8, 8, 1)) > 0.7

@@ -38,17 +38,43 @@ GE3T_START_CUT = 46
 
 
 def read_nifti(path: str) -> np.ndarray:
+    return read_nifti_with_spacing(path)[0]
+
+
+def read_nifti_with_spacing(path: str
+                            ) -> Tuple[np.ndarray, Tuple[float, ...]]:
+    """Volume + voxel spacing in ARRAY axis order (slice, row, col) mm.
+
+    The reference computes Hausdorff in world coordinates via the image
+    header (``wmh/evaluation.py:121-137``); the spacing returned here is
+    what :func:`evalx.wmh_metrics.hausdorff95` consumes (the affine
+    direction matrix is assumed axis-aligned, the identity case of
+    TransformIndexToPhysicalPoint)."""
     try:
         import SimpleITK as sitk
-        return sitk.GetArrayFromImage(sitk.ReadImage(path))
+        img = sitk.ReadImage(path)
+        # GetSpacing is (x,y,z); GetArrayFromImage is (z,y,x)
+        return sitk.GetArrayFromImage(img), tuple(reversed(img.GetSpacing()))
     except ImportError:
         pass
     try:
         import nibabel as nib
-        return np.asarray(nib.load(path).dataobj).T
+        img = nib.load(path)
+        # zooms are (x,y,z); .T puts the array in (z,y,x)
+        zooms = tuple(float(z) for z in img.header.get_zooms()[:3])
+        return np.asarray(img.dataobj).T, tuple(reversed(zooms))
     except ImportError as e:
         raise ImportError("Reading .nii.gz requires SimpleITK or nibabel; "
                           "preconvert to .npy instead") from e
+
+
+# Nominal voxel spacings (slice, row, col) mm of the three MICCAI-2017 WMH
+# challenge sites, for synthetic/preconverted data without NIfTI headers.
+CHALLENGE_SPACINGS = {
+    "utrecht": (3.0, 0.958, 0.958),
+    "singapore": (3.0, 1.0, 1.0),
+    "ge3t": (1.2, 0.977, 0.977),
+}
 
 
 def _brain_mask(img: np.ndarray, thresh: float) -> np.ndarray:

@@ -85,9 +85,13 @@ def train_one(cfg: LOOConfig, images: np.ndarray, masks: np.ndarray,
 
 
 def evaluate_patient(predict, params_list: Sequence, images: np.ndarray,
-                     masks: np.ndarray, threshold: float = 0.5
+                     masks: np.ndarray, threshold: float = 0.5,
+                     spacing: Optional[Sequence[float]] = None
                      ) -> Dict[str, float]:
-    """Challenge metrics on one patient; params_list > 1 = ensemble mean."""
+    """Challenge metrics on one patient; params_list > 1 = ensemble mean.
+
+    ``spacing`` = per-patient voxel spacing (slice,row,col) mm so H95 is in
+    world millimetres like the reference (``wmh/evaluation.py:121-137``)."""
     preds = np.mean([np.asarray(predict(p, jnp.asarray(images)))
                      for p in params_list], axis=0)
     binary = (preds[..., 0] >= threshold)
@@ -95,18 +99,34 @@ def evaluate_patient(predict, params_list: Sequence, images: np.ndarray,
     recall, precision, f1 = wmh_metrics.lesion_detection(mask, binary)
     return {
         "dsc": wmh_metrics.dsc(mask, binary),
-        "h95": wmh_metrics.hausdorff95(mask, binary),
+        "h95": wmh_metrics.hausdorff95(mask, binary, spacing=spacing),
         "avd": wmh_metrics.avd(mask, binary),
         "lesion_recall": recall,
         "lesion_f1": f1,
     }
 
 
+def default_patient_spacings(n_site01: int = 40, n_site2: int = 20
+                             ) -> List[Tuple[float, ...]]:
+    """Challenge-nominal spacing per patient: Utrecht (0-19), Singapore
+    (20-39), GE3T (40-59) in the standard 60-patient layout."""
+    from unet_design_tpu.data.wmh import CHALLENGE_SPACINGS
+    half = n_site01 // 2
+    return ([CHALLENGE_SPACINGS["utrecht"]] * half
+            + [CHALLENGE_SPACINGS["singapore"]] * (n_site01 - half)
+            + [CHALLENGE_SPACINGS["ge3t"]] * n_site2)
+
+
 def leave_one_out(cfg: LOOConfig, images: np.ndarray, masks: np.ndarray,
                   slice_ranges: Optional[List[Tuple[int, int]]] = None,
-                  patients: Optional[Sequence[int]] = None
+                  patients: Optional[Sequence[int]] = None,
+                  spacings: Optional[Sequence[Sequence[float]]] = None
                   ) -> Dict[int, Dict[str, float]]:
-    """Run the LOO protocol; returns per-patient challenge metrics."""
+    """Run the LOO protocol; returns per-patient challenge metrics.
+
+    ``spacings[p]`` is patient p's voxel spacing (from
+    ``read_nifti_with_spacing`` for real data); H95 falls back to voxel
+    units when omitted."""
     ranges = slice_ranges or patient_slice_ranges()
     patients = patients if patients is not None else range(len(ranges))
     rng = jax.random.PRNGKey(cfg.seed)
@@ -116,7 +136,8 @@ def leave_one_out(cfg: LOOConfig, images: np.ndarray, masks: np.ndarray,
         keep = np.r_[0:s, e:images.shape[0]]
         rng, t_rng = jax.random.split(rng)
         params, predict = train_one(cfg, images[keep], masks[keep], t_rng)
-        results[p] = evaluate_patient(predict, [params], images[s:e],
-                                      masks[s:e], cfg.threshold)
+        results[p] = evaluate_patient(
+            predict, [params], images[s:e], masks[s:e], cfg.threshold,
+            spacing=spacings[p] if spacings is not None else None)
         log.info("patient %d: %s", p, results[p])
     return results
