@@ -1,0 +1,109 @@
+"""On-chip Pallas-vs-XLA benchmarks for the two custom kernels.
+
+Decides the integrate-or-delete question with real numbers: the fused
+GroupNorm(+act) kernel vs flax GroupNorm + activation, and the fused Haar
+LL pyramid vs the separate avg-pool chain (``ops/wavelet.dwt_pyramid``),
+at the shapes the products actually run (diffusion 32px bs=128/256, PDE
+128px bs=8).
+
+Pallas-in-scan wedges the tunneled axon backend (CLAUDE.md), so the pallas
+paths time with ``measure_unrolled`` and the XLA paths with the same
+harness for a like-for-like comparison.
+
+Usage: python benchmark/pallasbench.py [--out docs/pallas_bench.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_groupnorm(shapes, n_iters=10):
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from unet_design_tpu.ops.pallas.groupnorm import fused_groupnorm_act
+    from unet_design_tpu.utils import benchtime
+
+    results = {}
+    for (b, h, w, c) in shapes:
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c),
+                              jnp.float32)
+        scale = jnp.ones((c,))
+        bias = jnp.zeros((c,))
+
+        def xla_gn(x, scale, bias):
+            gn = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                              use_bias=False, use_scale=False)
+            y = gn.apply({}, x)
+            y = y * scale + bias
+            return jax.nn.silu(y)
+
+        def pallas_gn(x, scale, bias):
+            return fused_groupnorm_act(x, scale, bias, num_groups=32,
+                                       activation="silu")
+
+        key = f"gn_b{b}_{h}x{w}x{c}"
+        t_x = benchtime.measure_unrolled(xla_gn, (x, scale, bias), n_iters)
+        t_p = benchtime.measure_unrolled(pallas_gn, (x, scale, bias),
+                                         n_iters)
+        results[key] = {"xla_us": round(t_x * 1e6, 1),
+                        "pallas_us": round(t_p * 1e6, 1),
+                        "speedup": round(t_x / max(t_p, 1e-12), 3)}
+        print(key, results[key], flush=True)
+    return results
+
+
+def bench_haar(shapes, n_levels=4, n_iters=10):
+    import jax
+    import jax.numpy as jnp
+    from unet_design_tpu.ops import wavelet
+    from unet_design_tpu.ops.pallas.haar import haar_pyramid_fused
+    from unet_design_tpu.utils import benchtime
+
+    results = {}
+    for (b, h, w, c) in shapes:
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c),
+                              jnp.float32)
+
+        def xla_pyr(x):
+            return tuple(wavelet.dwt_pyramid(x, n_levels))
+
+        def pallas_pyr(x):
+            return tuple(haar_pyramid_fused(x, n_levels))
+
+        key = f"haar_b{b}_{h}x{w}x{c}_L{n_levels}"
+        t_x = benchtime.measure_unrolled(xla_pyr, (x,), n_iters)
+        t_p = benchtime.measure_unrolled(pallas_pyr, (x,), n_iters)
+        results[key] = {"xla_us": round(t_x * 1e6, 1),
+                        "pallas_us": round(t_p * 1e6, 1),
+                        "speedup": round(t_x / max(t_p, 1e-12), 3)}
+        print(key, results[key], flush=True)
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="docs/pallas_bench.json")
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args(argv)
+
+    results = {}
+    results.update(bench_groupnorm(
+        [(128, 32, 32, 128), (256, 32, 32, 128), (8, 128, 128, 64)],
+        args.iters))
+    results.update(bench_haar(
+        [(128, 32, 32, 3), (256, 32, 32, 3), (8, 128, 128, 3)],
+        n_levels=4, n_iters=args.iters))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""End-to-end FID pipeline proof on-chip.
+
+VERDICT r1 #1b: the FID path must be exercised for real — dataset
+statistics via ``FIDEvaluator.save_reference_stats``, sampler outputs from
+a briefly-trained model, and the requirement that FID *decreases with
+training* against the dataset stats.
+
+Without egress the pt_inception weights cannot be fetched, so the
+Inception features use the deterministic seeded random initialization
+(architecture + weight-conversion proven exactly against the reference
+scorer in tests/test_inception_parity.py).  Random-feature FID is still a
+valid two-sample discrepancy — it must shrink as samples approach the
+data distribution — but the absolute numbers are NOT comparable to
+published FIDs (the run artifact says so).
+
+  python scripts/fid_proof.py --steps 3000 --images 1024
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--images", type=int, default=1024)
+    p.add_argument("--dataset-size", type=int, default=4096)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--sample-steps", type=int, default=25)
+    p.add_argument("--logdir", default="runs/fid_proof")
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "cifar10"])
+    p.add_argument("--ch", type=int, default=128,
+                   help="model width (128 = the reference 35.7M config)")
+    p.add_argument("--eval-batch", type=int, default=256)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from unet_design_tpu.data import image as image_data
+    from unet_design_tpu.evalx.fid import FIDEvaluator
+    from unet_design_tpu.process import diffusion
+    from unet_design_tpu.tasks import diff_cifar
+
+    cfg = diff_cifar.Config()
+    cfg.data.dataset = args.dataset
+    cfg.data.synthetic_size = args.dataset_size
+    cfg.data.batch_size = args.batch_size
+    cfg.model.ch = args.ch
+    cfg.model.use_bf16 = True
+    cfg.diffusion.sampler = "dpm_solver"
+    cfg.diffusion.sample_steps = args.sample_steps
+    cfg.train.num_iterations_list = [args.steps]
+    cfg.train.warmup = 500
+    cfg.train.logdir = args.logdir
+    cfg.train.metrics_every_iters = 200
+    stats_path = os.path.join(args.logdir, "dataset_stats.npz")
+    cfg.train.fid_stats_cache = stats_path
+    os.makedirs(args.logdir, exist_ok=True)
+
+    # dataset statistics (images in [0,1] like the reference feeds Inception)
+    if args.dataset == "cifar10":
+        data, _ = image_data.load_cifar10(cfg.data.root, train=True)
+    else:
+        data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
+    evaluator = FIDEvaluator(stats_cache=None)
+    evaluator.save_reference_stats(((data + 1.0) / 2.0)[:args.dataset_size],
+                                   stats_path)
+    print("dataset stats saved:", stats_path, flush=True)
+
+    model = diff_cifar.build_model(cfg)
+    sch = diffusion.DDPMSchedule.create(cfg.diffusion.beta_1,
+                                        cfg.diffusion.beta_T,
+                                        cfg.diffusion.T)
+
+    # FID at INIT (untrained model)
+    import jax.numpy as jnp
+    rng = jax.random.PRNGKey(123)
+    init_params = model.init(rng, jnp.zeros((2, 32, 32, 3)),
+                             jnp.zeros((2,), jnp.int32))["params"]
+    before = diff_cifar.evaluate(cfg, model, init_params, sch,
+                                 jax.random.PRNGKey(7),
+                                 n_levels_used=model.n_levels,
+                                 resolution=32, num_images=args.images,
+                                 batch_size=args.eval_batch)
+    print("FID before training:", json.dumps(before), flush=True)
+
+    state = diff_cifar.train(cfg)
+    after = diff_cifar.evaluate(cfg, model, state.ema_params, sch,
+                                jax.random.PRNGKey(7),
+                                n_levels_used=model.n_levels,
+                                resolution=32, num_images=args.images,
+                                batch_size=args.eval_batch)
+    print("FID after training:", json.dumps(after), flush=True)
+
+    out = {"fid_untrained": before.get("FID"),
+           "fid_trained": after.get("FID"),
+           "is_untrained": before.get("IS"), "is_trained": after.get("IS"),
+           "train_steps": args.steps, "n_images": args.images,
+           "note": ("random seeded Inception weights (no egress for the "
+                    "pt_inception .pth); architecture parity-proven, "
+                    "absolute FID not comparable to published numbers")}
+    out["fid_decreased"] = bool(after.get("FID", 1e9)
+                                < before.get("FID", 0.0))
+    with open(os.path.join(args.logdir, "fid_proof.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ CASES = {
     "configs/diff_mnist_triangular.yaml": diff_mnist.Config,
     "configs/pde_navierstokes2d.yaml": pde.Config,
     "configs/pde_ns2d_quickstart.yaml": pde.Config,
+    "configs/pde_ns2d_table1.yaml": pde.Config,
     "configs/pde_shallowwater2d_1day.yaml": pde.Config,
     "configs/pde_shallowwater2d_2day.yaml": pde.Config,
     "configs/wmh.yaml": wmh.Config,

@@ -94,6 +94,9 @@ class TrainConfig:
     val_every_epochs: int = 1
     resume: bool = False        # continue from the last epoch checkpoint
     stop_after_epochs: int = 0  # graceful preemption after N epochs
+    # cadence of the full-state 'latest' checkpoint (a ~3x-params write;
+    # every epoch is safest, sparser is faster for long runs)
+    save_latest_every: int = 1
     logdir: str = "runs/pde"
 
 
@@ -454,14 +457,18 @@ def train(cfg: Config):
                           extra={"epoch": epoch, "best_val": best_val})
 
         # ---- epoch-granular full-state checkpoint (resume point)
-        full = {"params": state.params, "opt_state": state.opt_state,
-                "rng": state.rng, "step": state.step}
-        if model_state:
-            full["model_state"] = model_state
-        ckpt_latest.save(epoch, full,
-                         extra={"step": step, "best_val": float(best_val)})
-        if (cfg.train.stop_after_epochs
-                and epoch + 1 >= start_epoch + cfg.train.stop_after_epochs):
+        stopping = (cfg.train.stop_after_epochs and epoch + 1 >=
+                    start_epoch + cfg.train.stop_after_epochs)
+        if ((epoch + 1) % max(cfg.train.save_latest_every, 1) == 0
+                or stopping or epoch + 1 == n_epochs_total):
+            full = {"params": state.params, "opt_state": state.opt_state,
+                    "rng": state.rng, "step": state.step}
+            if model_state:
+                full["model_state"] = model_state
+            ckpt_latest.save(epoch, full,
+                             extra={"step": step,
+                                    "best_val": float(best_val)})
+        if stopping:
             log.info("Stopping after %d epochs (graceful preemption)",
                      epoch + 1)
             break

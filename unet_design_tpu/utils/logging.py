@@ -68,7 +68,7 @@ class MetricsLogger:
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         if not self.is_main:
             return
-        record = {"step": int(step)}
+        record = {"step": int(step), "t": round(time.time(), 3)}
         for k, v in metrics.items():
             record[k] = float(v) if np.isscalar(v) or hasattr(v, "item") \
                 else v
