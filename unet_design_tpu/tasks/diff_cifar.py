@@ -64,6 +64,11 @@ class DataConfig:
     root: str = "./datasets/cifar10"
     batch_size: int = 128
     synthetic_size: int = 512
+    # stage the dataset in device HBM (CIFAR-10 is 600 MB) and run the
+    # steps between logging/sampling/eval/save events as ONE scanned device
+    # call; the host ships per-chunk int32 batch indices + flip masks.
+    # Per-step dispatch through the tunneled backend costs ~300 ms.
+    device_cache: bool = True
 
 
 @dataclasses.dataclass
@@ -200,7 +205,11 @@ def train(cfg: Config):
         ema_params = to_tree(raw["ema_params"], ema_params)
         log.info("Resumed from checkpoint step %d", resume_step)
 
-    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
+    # device_cache: stage the dataset in HBM once; the batch stream then
+    # carries only indices (identical permutation RNG either way)
+    data_dev = jnp.asarray(data) if cfg.data.device_cache else None
+    source = [np.arange(len(data))] if data_dev is not None else [data]
+    batches = loader_lib.infinite_batches(source, cfg.data.batch_size,
                                           seed=cfg.train.seed,
                                           start_step=resume_step)
     step_count = 0
@@ -252,6 +261,31 @@ def train(cfg: Config):
                                           ema_decay=cfg.train.ema_decay,
                                           trainable_mask=mask,
                                           with_grad_norm=True, jit=True)
+        raw_step = trainer.make_train_step(loss_fn, tx,
+                                           ema_decay=cfg.train.ema_decay,
+                                           trainable_mask=mask,
+                                           with_grad_norm=True, jit=False)
+
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def chunk_fn(state, data_d, idxs, flips, nd=stage.n_downsample):
+            """All steps between two host events as one scanned device call
+            over the HBM-resident dataset (per-step dispatch through the
+            tunneled backend costs ~300 ms in round trips alone)."""
+            def body(st, inp):
+                i, fl = inp
+                x0 = data_d[i]
+                x0 = jnp.where(fl[:, None, None, None], x0[:, :, ::-1, :],
+                               x0)
+                if sequ and nd:
+                    x0 = wavelet.haar_downsample(x0, nd)
+                st, loss, loss_list, gn = raw_step(st, x0)
+                return st, (loss, tuple(loss_list), gn)
+            state, (losses, loss_lists, gns) = jax.lax.scan(
+                body, state, (idxs, flips))
+            return state, losses, loss_lists, gns
+
         samplers = {}
         if step_count + stage.num_iterations <= resume_step:
             step_count += stage.num_iterations   # stage fully completed
@@ -259,54 +293,95 @@ def train(cfg: Config):
         log.info("Stage %d/%d: res=%d n_levels_used=%d iters=%d",
                  stage.index + 1, stage.n_stages, cur_res, n,
                  stage.num_iterations)
-        for _ in range(stage.num_iterations):
-            if step_count < resume_step:
-                step_count += 1   # batches already fast-forwarded
-                continue
-            (x0,) = next(batches)
-            # stateless per-step flip randomness: identical under resume
-            x0 = image_data.random_horizontal_flip(
-                x0, np.random.default_rng((cfg.train.seed, step_count)))
-            x0 = jnp.asarray(x0)
-            if sequ and stage.n_downsample:
-                x0 = wavelet.haar_downsample(x0, stage.n_downsample)
-            state, loss, loss_list, grad_norm = step_fn(state, x0)
+
+        def fire_metrics(loss, loss_list, grad_norm):
+            # train/grad_norm: the wandb.watch(model) analog
+            m = {"train/loss": float(loss),
+                 "train/grad_norm": float(grad_norm)}
+            for k, l in enumerate(loss_list):
+                m[f"train/res_{cur_res // 2**(len(loss_list)-1-k)}_loss"] \
+                    = float(l)
+            metrics.log(m, step_count)
+
+        def fire_sampling(state):
+            # EMA samples at every active resolution, logged as grids
+            # (``diff_cifar/main.py:455-516`` keeps one x_T per resolution
+            # and wandb-logs each sample grid)
+            from unet_design_tpu.utils import visualization
+            n_smp = cfg.train.sample_size
+            for r in [cur_res // 2 ** i for i in range(n)]:
+                nl = n - int(math.log2(cur_res // r))
+                if nl not in samplers:
+                    samplers[nl] = make_sampler(cfg, model, sch, nl)
+                n_rng, smp_rng = jax.random.split(jax.random.fold_in(
+                    jax.random.fold_in(rng, step_count), r))
+                x_T = jax.random.normal(n_rng, (n_smp, r, r, in_ch))
+                imgs = np.asarray(
+                    samplers[nl](state.ema_params, smp_rng, x_T))
+                side = max(1, int(math.sqrt(len(imgs))))
+                fig = visualization.plot_sample_grid(
+                    imgs[:side * side], side, side,
+                    f"res {r}, iter {step_count}")
+                metrics.log_figure(f"samples/res_{r}", fig, step_count)
+
+        def fire_eval(state):
+            e_rng = jax.random.fold_in(rng, 20_000 + step_count)
+            scores = evaluate(cfg, model, state.ema_params, sch, e_rng,
+                              n_levels_used=n, resolution=cur_res)
+            metrics.log({f"eval/{k}": v for k, v in scores.items()
+                         if np.isscalar(v)}, step_count)
+
+        stage_end = step_count + stage.num_iterations
+        if step_count < resume_step:
+            step_count = resume_step   # index stream already fast-forwarded
+        cadences = (cfg.train.metrics_every_iters, cfg.train.sample_step,
+                    cfg.train.eval_step)
+        while step_count < stage_end:
+            if data_dev is not None:
+                # next host event >= step_count: pre-increment events fire
+                # at k % c == 0, the save event fires at (k+1) % save == 0
+                k_end = stage_end - 1
+                for c in cadences:
+                    if c:
+                        k = (step_count if step_count % c == 0
+                             else (step_count // c + 1) * c)
+                        k_end = min(k_end, k)
+                if cfg.train.save_step:
+                    k_end = min(k_end, -(-(step_count + 1)
+                                         // cfg.train.save_step)
+                                * cfg.train.save_step - 1)
+                if cfg.train.stop_after_steps:
+                    k_end = min(k_end, cfg.train.stop_after_steps - 1)
+                k_end = min(k_end, step_count + 1999)   # bound host buffers
+                chunk = k_end - step_count + 1
+                idxs = np.stack([next(batches)[0] for _ in range(chunk)])
+                flips = np.stack([
+                    np.random.default_rng(
+                        (cfg.train.seed, step_count + j))
+                    .random(idxs.shape[1]) < 0.5 for j in range(chunk)])
+                state, losses, loss_lists, gns = chunk_fn(
+                    state, data_dev, jnp.asarray(idxs, jnp.int32),
+                    jnp.asarray(flips))
+                step_count = k_end
+                loss, grad_norm = losses[-1], gns[-1]
+                loss_list = [l[-1] for l in loss_lists]
+            else:
+                (x0,) = next(batches)
+                # stateless per-step flip randomness: identical under resume
+                x0 = image_data.random_horizontal_flip(
+                    x0, np.random.default_rng((cfg.train.seed, step_count)))
+                x0 = jnp.asarray(x0)
+                if sequ and stage.n_downsample:
+                    x0 = wavelet.haar_downsample(x0, stage.n_downsample)
+                state, loss, loss_list, grad_norm = step_fn(state, x0)
             if step_count % cfg.train.metrics_every_iters == 0:
-                # train/grad_norm: the wandb.watch(model) analog
-                m = {"train/loss": float(loss),
-                     "train/grad_norm": float(grad_norm)}
-                for k, l in enumerate(loss_list):
-                    m[f"train/res_{cur_res // 2**(len(loss_list)-1-k)}_loss"] \
-                        = float(l)
-                metrics.log(m, step_count)
+                fire_metrics(loss, loss_list, grad_norm)
             if (cfg.train.sample_step
                     and step_count % cfg.train.sample_step == 0):
-                # EMA samples at every active resolution, logged as grids
-                # (``diff_cifar/main.py:455-516`` keeps one x_T per
-                # resolution and wandb-logs each sample grid)
-                from unet_design_tpu.utils import visualization
-                n_smp = cfg.train.sample_size
-                for r in [cur_res // 2 ** i for i in range(n)]:
-                    nl = n - int(math.log2(cur_res // r))
-                    if nl not in samplers:
-                        samplers[nl] = make_sampler(cfg, model, sch, nl)
-                    n_rng, smp_rng = jax.random.split(jax.random.fold_in(
-                        jax.random.fold_in(rng, step_count), r))
-                    x_T = jax.random.normal(n_rng, (n_smp, r, r, in_ch))
-                    imgs = np.asarray(
-                        samplers[nl](state.ema_params, smp_rng, x_T))
-                    side = max(1, int(math.sqrt(len(imgs))))
-                    fig = visualization.plot_sample_grid(
-                        imgs[:side * side], side, side,
-                        f"res {r}, iter {step_count}")
-                    metrics.log_figure(f"samples/res_{r}", fig, step_count)
+                fire_sampling(state)
             if (cfg.train.eval_step and step_count > 0
                     and step_count % cfg.train.eval_step == 0):
-                e_rng = jax.random.fold_in(rng, 20_000 + step_count)
-                scores = evaluate(cfg, model, state.ema_params, sch, e_rng,
-                                  n_levels_used=n, resolution=cur_res)
-                metrics.log({f"eval/{k}": v for k, v in scores.items()
-                             if np.isscalar(v)}, step_count)
+                fire_eval(state)
             step_count += 1
             # save AFTER the increment: checkpoint key k == "k steps done",
             # matching both the resume fast-forward and the data cursor
