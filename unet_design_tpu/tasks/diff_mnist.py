@@ -69,6 +69,9 @@ class DataConfig:
     batch_size: int = 128
     to_square_preprocess: bool = False
     synthetic_size: int = 512
+    # stage the dataset in device HBM and scan the steps between host
+    # events in one device call (see tasks/diff_cifar.py)
+    device_cache: bool = True
 
 
 @dataclasses.dataclass
@@ -217,7 +220,9 @@ def train(cfg: Config):
                                         params, raw["params"])
         log.info("Resumed from checkpoint step %d", resume_step)
 
-    batches = loader_lib.infinite_batches([data], cfg.data.batch_size,
+    data_dev = jnp.asarray(data) if cfg.data.device_cache else None
+    source = [np.arange(len(data))] if data_dev is not None else [data]
+    batches = loader_lib.infinite_batches(source, cfg.data.batch_size,
                                           seed=cfg.train.seed,
                                           start_step=resume_step)
 
@@ -274,6 +279,24 @@ def train(cfg: Config):
 
         step_fn = trainer.make_train_step(loss_fn, tx, with_grad_norm=True,
                                           jit=True)
+        raw_step = trainer.make_train_step(loss_fn, tx, with_grad_norm=True,
+                                           jit=False)
+
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def chunk_fn(state, data_d, idxs, nd=stage.n_downsample):
+            """All steps between host events as one scanned device call over
+            the HBM-resident dataset (see tasks/diff_cifar.py)."""
+            def body(st, i):
+                x0 = data_d[i]
+                if sequ and nd > 0:
+                    x0 = wavelet.haar_downsample(x0, nd)
+                st, loss, loss_list, gn = raw_step(st, x0)
+                return st, (loss, tuple(loss_list), gn)
+            state, (losses, loss_lists, gns) = jax.lax.scan(body, state,
+                                                            idxs)
+            return state, losses, loss_lists, gns
 
         if train_iter + stage.num_iterations <= resume_step:
             train_iter += stage.num_iterations   # stage fully completed
@@ -281,15 +304,51 @@ def train(cfg: Config):
         log.info("Stage %d/%d: n_levels_used=%d, n_downsample=%d, iters=%d",
                  stage.index + 1, stage.n_stages, n, stage.n_downsample,
                  stage.num_iterations)
-        for _ in range(stage.num_iterations):
-            if train_iter < resume_step:
-                train_iter += 1   # batches already fast-forwarded
-                continue
-            (batch_np,) = next(batches)
-            batch = jnp.asarray(batch_np)
-            if sequ and stage.n_downsample > 0:
-                batch = wavelet.haar_downsample(batch, stage.n_downsample)
-            state, loss, loss_list, grad_norm = step_fn(state, batch)
+        stage_end = train_iter + stage.num_iterations
+        if train_iter < resume_step:
+            train_iter = resume_step   # index stream already fast-forwarded
+        cadences = (cfg.train.metrics_every_iters,
+                    cfg.train.samples_every_iters,
+                    cfg.train.u_net_norm_every_iters)
+        batch = None
+        while train_iter < stage_end:
+            if data_dev is not None:
+                k_end = stage_end - 1
+                for c in cadences:
+                    if c:
+                        k = (train_iter if train_iter % c == 0
+                             else (train_iter // c + 1) * c)
+                        k_end = min(k_end, k)
+                if cfg.train.save_every_iters:
+                    k_end = min(k_end, -(-(train_iter + 1)
+                                         // cfg.train.save_every_iters)
+                                * cfg.train.save_every_iters - 1)
+                if cfg.train.stop_after_steps:
+                    k_end = min(k_end, cfg.train.stop_after_steps - 1)
+                k_end = min(k_end, train_iter + 1999)
+                chunk = k_end - train_iter + 1
+                idxs = np.stack([next(batches)[0] for _ in range(chunk)])
+                state, losses, loss_lists, gns = chunk_fn(
+                    state, data_dev, jnp.asarray(idxs, jnp.int32))
+                train_iter = k_end
+                loss, grad_norm = losses[-1], gns[-1]
+                loss_list = [l[-1] for l in loss_lists]
+                if (cfg.train.u_net_norm_every_iters
+                        and cfg.model.name == "unet_wavelet"
+                        and train_iter % cfg.train.u_net_norm_every_iters
+                        == 0):
+                    # reconstruct the last batch for the norm-vs-t figure
+                    batch = jnp.asarray(data[idxs[-1]])
+                    if sequ and stage.n_downsample > 0:
+                        batch = wavelet.haar_downsample(
+                            batch, stage.n_downsample)
+            else:
+                (batch_np,) = next(batches)
+                batch = jnp.asarray(batch_np)
+                if sequ and stage.n_downsample > 0:
+                    batch = wavelet.haar_downsample(batch,
+                                                    stage.n_downsample)
+                state, loss, loss_list, grad_norm = step_fn(state, batch)
             if train_iter % cfg.train.metrics_every_iters == 0:
                 # train/grad_norm: the wandb.watch(model) analog (main.py:188)
                 m = {"train/loss": float(loss),
