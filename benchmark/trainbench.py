@@ -89,13 +89,18 @@ def bench_train_step(name: str, use_bf16: bool, n_iters: int = 20,
 
     # warmup (compile) then timed run; scalar fetch anchors the clock
     float(run_n(state, (x, y)))
+    # round-trip probe: warm it FIRST (its own jit compile otherwise lands
+    # in rt and total - rt goes negative for the first benched config)
+    probe = jax.jit(lambda v: v + 1.0)
+    float(probe(jnp.float32(0.0)))
     t0 = time.time()
     float(run_n(state, (x, y)))
     total = time.time() - t0
-    # subtract one round-trip, measured on a trivial transfer
     t0 = time.time()
-    float(jnp.float32(0.0) + 1.0)
+    float(probe(jnp.float32(0.0)))
     rt = time.time() - t0
+    if total <= rt:  # measurement swamped by the tunnel round-trip
+        rt = 0.0
     t_step = max(total - rt, 1e-9) / n_iters
 
     out = {"time_s": round(t_step, 6),

@@ -24,7 +24,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# One batch element's (HW, C) fp32 slab must fit in scoped VMEM together with
+# the kernel's temporaries (x fp32 copy, x*x, y, activation intermediates —
+# measured ~8x the slab on v5e: a 4 MB slab compiled to a 31.97 MB scoped
+# allocation against the 16 MB limit).  Keep the slab <= 1.5 MB so the whole
+# working set stays within scoped VMEM.
+_VMEM_SLAB_BYTES = int(1.5 * 1024 * 1024)
+_VMEM_BUDGET_BYTES = _VMEM_SLAB_BYTES  # backwards-compat alias
+
+
+def pallas_eligible(shape) -> bool:
+    """Whether ``fused_groupnorm_act`` will take the Pallas path for NHWC
+    ``shape`` (else it silently falls back to the plain-JAX reference)."""
+    _, h, w, c = shape
+    return h * w * c * 4 <= _VMEM_SLAB_BYTES
 
 
 def _activate(y: jnp.ndarray, activation: str) -> jnp.ndarray:
@@ -70,7 +83,7 @@ def fused_groupnorm_act(x: jnp.ndarray, scale: jnp.ndarray,
     """GroupNorm + activation, one pass.  x: (B, H, W, C) NHWC."""
     b, h, w, c = x.shape
     assert c % num_groups == 0
-    if h * w * c * 4 > _VMEM_BUDGET_BYTES and not interpret:
+    if not pallas_eligible(x.shape) and not interpret:
         return groupnorm_act_reference(x, scale, bias, num_groups, eps,
                                        activation)
     x3 = x.reshape(b, h * w, c)
