@@ -214,3 +214,44 @@ def test_periodic_save_resume(tmp_path):
     cfg2.train.resume = True
     resumed = diff_cifar.train(cfg2)
     _assert_trees_equal(full.params, resumed.params)
+
+
+def test_mnist_train_id_restore_ignores_cli(tmp_path):
+    """TRAIN_ID analog (``diff_mnist/main.py:50-95``): a new run restoring
+    another run by id continues from its checkpoint under the STORED config
+    ("any passed command line arguments are ignored") and reaches the same
+    final params as the uninterrupted run."""
+    from unet_design_tpu.tasks import diff_mnist
+    full = diff_mnist.train(_tiny_mnist_cfg(tmp_path, "mn_full2"))
+
+    cfg = _tiny_mnist_cfg(tmp_path, "mn_src")
+    cfg.train.stop_after_steps = 2
+    diff_mnist.train(cfg)
+
+    cfg2 = _tiny_mnist_cfg(tmp_path, "mn_cont")
+    cfg2.model.num_channels = 64          # must be ignored on restore
+    cfg2.train.num_iterations_list = [1]  # must be ignored on restore
+    cfg2.train.train_id = str(tmp_path / "mn_src")
+    resumed = diff_mnist.train(cfg2)
+    _assert_trees_equal(full.params, resumed.params)
+    _assert_trees_equal(full.opt_state, resumed.opt_state)
+    # the continuation checkpoints land in the NEW run's store
+    assert (tmp_path / "mn_cont" / "ckpt").exists()
+
+
+def test_mnist_test_id_samples_without_training(tmp_path):
+    """TEST_ID analog: restore a finished run by id and produce one sample
+    grid per trained resolution, no training."""
+    from unet_design_tpu.tasks import diff_mnist
+    diff_mnist.train(_tiny_mnist_cfg(tmp_path, "mn_done"))
+
+    cfg = diff_mnist.Config()
+    cfg.train.test_id = str(tmp_path / "mn_done")
+    cfg.train.n_samples = 4
+    cfg.train.logdir = str(tmp_path / "mn_eval")
+    out = diff_mnist.test_eval(cfg)
+    # two-stage schedule on 16px with channel_mult [1,1]: final stage uses
+    # both levels -> grids at 8 and 16
+    assert sorted(out.keys()) == [8, 16]
+    for r, imgs in out.items():
+        assert imgs.shape[1] == r and np.isfinite(imgs).all()

@@ -30,6 +30,7 @@ from unet_design_tpu.ops import wavelet
 from unet_design_tpu.process import diffusion
 from unet_design_tpu.train import freezing, trainer
 from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils import config as config_lib
 from unet_design_tpu.utils.config import parse_cli
 from unet_design_tpu.utils.logging import MetricsLogger, get_logger
 
@@ -87,7 +88,14 @@ class TrainConfig:
     u_net_norm_every_iters: int = 0  # 0 disables norm-vs-t figures
     metrics_every_iters: int = 100
     save_every_iters: int = 0
-    resume: bool = False        # restore latest checkpoint (TRAIN_ID analog)
+    resume: bool = False        # restore latest checkpoint from own logdir
+    # Run-id restore (the reference's wandb TRAIN_ID / TEST_ID,
+    # diff_mnist/main.py:50-95): a run directory (or a name under runs/)
+    # whose saved config.yaml REPLACES the CLI config and whose checkpoint
+    # is restored.  train_id continues training; test_id samples only.
+    train_id: str = ""
+    test_id: str = ""
+    restore_iter: int = 0       # 0 -> the run's latest checkpoint
     stop_after_steps: int = 0   # graceful preemption after N global steps
     do_superres: bool = False
     superres_factor: int = 2         # target_res / final trained res
@@ -176,7 +184,42 @@ def check_config(cfg: Config) -> None:
         "beta_max must be < N or alphas go negative")
 
 
+def resolve_run_dir(run_id: str) -> str:
+    """A run id is a run directory, or a name under ``runs/``."""
+    if os.path.isdir(run_id):
+        return run_id
+    cand = os.path.join("runs", run_id)
+    if os.path.isdir(cand):
+        return cand
+    raise FileNotFoundError(f"run id {run_id!r}: no such run directory")
+
+
+def restore_run_config(cfg: Config) -> Config:
+    """TRAIN_ID/TEST_ID config restore (``diff_mnist/main.py:56-70``): the
+    stored run's config replaces the current one wholesale — "any passed
+    command line arguments are ignored" — except the restore fields
+    themselves and the (fresh) logdir of the new run."""
+    run_id = cfg.train.train_id or cfg.train.test_id
+    if not run_id:
+        return cfg
+    run_dir = resolve_run_dir(run_id)
+    restored = config_lib.from_yaml(
+        Config, os.path.join(run_dir, "config.yaml"))
+    restored.train.train_id = cfg.train.train_id
+    restored.train.test_id = cfg.train.test_id
+    restored.train.restore_iter = cfg.train.restore_iter
+    restored.train.resume = False
+    restored.train.logdir = cfg.train.logdir
+    # run-control, not hyperparameters: the old run's preemption point must
+    # not re-trigger in the continuation
+    restored.train.stop_after_steps = cfg.train.stop_after_steps
+    log.info("Restoring run %s: stored config replaces CLI arguments",
+             run_id)
+    return restored
+
+
 def train(cfg: Config):
+    cfg = restore_run_config(cfg)
     check_config(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     data = load_dataset(cfg.data)
@@ -203,6 +246,9 @@ def train(cfg: Config):
 
     metrics = MetricsLogger(cfg.train.logdir)
     ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
+    # "saving H config..." (main.py:104-107) — makes this run restorable
+    # by id via train_id/test_id later.
+    config_lib.save_yaml(cfg, os.path.join(cfg.train.logdir, "config.yaml"))
     stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
                                              n_levels)
     sequ = len(stages) > 1
@@ -211,11 +257,18 @@ def train(cfg: Config):
 
     # Full-fidelity resume (the reference's wandb TRAIN_ID restore,
     # diff_mnist/main.py:50-95): params, optimizer moments, per-step PRNG and
-    # the data cursor all continue exactly.
+    # the data cursor all continue exactly.  With train_id the checkpoint
+    # comes from ANOTHER run's store; new checkpoints land in this logdir.
+    src_ckpt = ckpt
     resume_step = 0
-    if cfg.train.resume and ckpt.latest_step() is not None:
+    if cfg.train.train_id:
+        src_ckpt = CheckpointManager(os.path.join(
+            resolve_run_dir(cfg.train.train_id), "ckpt"))
+        resume_step = cfg.train.restore_iter or src_ckpt.latest_step() or 0
+    elif cfg.train.resume and ckpt.latest_step() is not None:
         resume_step = ckpt.latest_step()
-        raw = ckpt.restore_raw(resume_step)
+    if resume_step:
+        raw = src_ckpt.restore_raw(resume_step)
         params = jax.tree_util.tree_map(lambda _, v: jnp.asarray(v),
                                         params, raw["params"])
         log.info("Resumed from checkpoint step %d", resume_step)
@@ -247,7 +300,7 @@ def train(cfg: Config):
         if train_iter < resume_step < train_iter + stage.num_iterations:
             # mid-stage resume: optimizer moments and the per-step PRNG
             # chain continue from the checkpoint
-            state = state.replace(**ckpt.restore(resume_step, {
+            state = state.replace(**src_ckpt.restore(resume_step, {
                 "params": state.params, "opt_state": state.opt_state,
                 "rng": state.rng, "step": state.step}))
 
@@ -490,10 +543,80 @@ def superres_sample(cfg: Config, model, params, vp: diffusion.VPDiffusion,
     return np.asarray(x_mean)
 
 
+def test_eval(cfg: Config):
+    """TEST_ID mode (``diff_mnist/main.py:81-95``): restore a finished run by
+    id and produce its sampling artifacts without training — one sample grid
+    per trained resolution, plus super-resolution if the run configured it.
+    Returns ``{resolution: samples}``."""
+    cfg = restore_run_config(cfg)
+    check_config(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    data = load_dataset(cfg.data)
+    in_channels = data.shape[-1]
+    model = build_model(cfg, in_channels)
+    is_wavelet = cfg.model.name == "unet_wavelet"
+    n_levels = model.n_levels if is_wavelet else 1
+
+    vp = diffusion.VPDiffusion.create(
+        beta_min=cfg.diffusion.beta_min, beta_max=cfg.diffusion.beta_max,
+        N=cfg.diffusion.N, eps=cfg.diffusion.eps, T=cfg.diffusion.T,
+        multi_res_loss=cfg.model.multi_res_loss,
+        weighted_multi_res_loss=cfg.diffusion.weighted_multi_res_loss)
+
+    x_init = jnp.zeros((2, cfg.data.resolution, cfg.data.resolution,
+                        in_channels))
+    t_init = jnp.zeros((2,))
+    variables = model.init(rng, x_init, t_init)
+    src = CheckpointManager(os.path.join(
+        resolve_run_dir(cfg.train.test_id), "ckpt"))
+    step = cfg.train.restore_iter or src.latest_step()
+    raw = src.restore_raw(step)
+    params = jax.tree_util.tree_map(lambda _, v: jnp.asarray(v),
+                                    variables["params"], raw["params"])
+    log.info("test_eval: restored run %s at step %s", cfg.train.test_id,
+             step)
+
+    metrics = MetricsLogger(cfg.train.logdir)
+    from unet_design_tpu.utils import visualization
+    stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
+                                             n_levels)
+    final = stages[-1]
+    n = final.n_levels_used if is_wavelet else 1
+    stage_res = cfg.data.resolution // 2 ** final.n_downsample
+    out = {}
+    for k in (range(1, n + 1) if is_wavelet else (1,)):
+        r = stage_res // 2 ** (n - k)
+        s_rng = jax.random.fold_in(jax.random.fold_in(rng, 30_000), k)
+        imgs = sample(cfg, model, params, vp, s_rng, k, r, in_channels)
+        out[r] = imgs
+        side = max(1, int(math.sqrt(len(imgs))))
+        fig = visualization.plot_sample_grid(
+            imgs[:side * side], side, side, f"test_eval res {r}")
+        metrics.log_figure(f"samples/res_{r}", fig, step or 0)
+    if cfg.train.do_superres and is_wavelet and len(stages) > 1:
+        extra = int(math.log2(max(cfg.train.superres_factor, 1)))
+        if extra > 0 and n + extra <= n_levels:
+            target_res = stage_res * cfg.train.superres_factor
+            imgs = superres_sample(cfg, model, params, vp,
+                                   jax.random.fold_in(rng, 31_000),
+                                   stage_res, target_res, n, in_channels)
+            out[target_res] = imgs
+            side = max(1, int(math.sqrt(len(imgs))))
+            fig = visualization.plot_sample_grid(
+                imgs[:side * side], side, side,
+                f"test_eval superres {stage_res}->{target_res}")
+            metrics.log_figure("superres", fig, step or 0)
+    metrics.close()
+    return out
+
+
 def main(argv=None):
     import sys
     cfg = parse_cli(Config, argv if argv is not None else sys.argv[1:])
-    train(cfg)
+    if cfg.train.test_id:
+        test_eval(cfg)
+    else:
+        train(cfg)
 
 
 if __name__ == "__main__":

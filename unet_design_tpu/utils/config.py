@@ -56,6 +56,14 @@ def from_yaml(cls: Type[T], path: str) -> T:
         return from_dict(cls, yaml.safe_load(f) or {})
 
 
+def save_yaml(cfg: Any, path: str) -> None:
+    """Persist a config next to a run's artifacts (the reference's
+    ``torch.save(H, 'H.dict')``, ``diff_mnist/main.py:104-107``), so the run
+    can later be restored by id with CLI args ignored."""
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
 def _parse_value(s: str) -> Any:
     try:
         return json.loads(s)
