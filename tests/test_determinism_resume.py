@@ -255,3 +255,38 @@ def test_mnist_test_id_samples_without_training(tmp_path):
     assert sorted(out.keys()) == [8, 16]
     for r, imgs in out.items():
         assert imgs.shape[1] == r and np.isfinite(imgs).all()
+
+
+def test_cifar_train_id_restore_ignores_cli(tmp_path):
+    """diff_cifar TRAIN_ID analog (``diff_cifar/main.py:115-161``):
+    cross-run restore-by-id continues under the stored config and
+    bit-matches the uninterrupted run."""
+    full = diff_cifar.train(tiny_cfg(tmp_path, "cf_full2"))
+
+    cfg = tiny_cfg(tmp_path, "cf_src")
+    cfg.train.stop_after_steps = 2
+    diff_cifar.train(cfg)
+
+    cfg2 = tiny_cfg(tmp_path, "cf_cont")
+    cfg2.model.ch = 64                    # must be ignored on restore
+    cfg2.train.train_id = str(tmp_path / "cf_src")
+    resumed = diff_cifar.train(cfg2)
+    _assert_trees_equal(full.params, resumed.params)
+    _assert_trees_equal(full.ema_params, resumed.ema_params)
+    _assert_trees_equal(full.opt_state, resumed.opt_state)
+
+
+def test_cifar_test_id_evaluates_without_training(tmp_path):
+    """diff_cifar TEST_ID analog: restore by id and compute the sampling
+    eval (IS over a few images) on the EMA params, no training."""
+    diff_cifar.train(tiny_cfg(tmp_path, "cf_done"))
+
+    cfg = diff_cifar.Config()
+    cfg.train.test_id = str(tmp_path / "cf_done")
+    cfg.train.num_eval_images = 8
+    cfg.diffusion.sampler = "ddim"
+    cfg.diffusion.sample_steps = 2
+    cfg.train.logdir = str(tmp_path / "cf_eval")
+    scores = diff_cifar.test_eval(cfg)
+    assert "IS" in scores and np.isfinite(scores["IS"])
+    assert (tmp_path / "cf_eval" / "eval_scores.json").exists()

@@ -75,6 +75,8 @@ def inception_score_from_probs(probs: np.ndarray, splits: int = 10
     """IS = exp(E_x KL(p(y|x) || p(y))) over splits (``inception_score.py``)."""
     scores = []
     n = probs.shape[0]
+    # fewer images than splits would make empty chunks (NaN scores)
+    splits = max(1, min(splits, n))
     for i in range(splits):
         part = probs[i * n // splits:(i + 1) * n // splits]
         kl = part * (np.log(part + 1e-16)

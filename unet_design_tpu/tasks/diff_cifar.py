@@ -11,6 +11,7 @@ resolution (``:455-516``), periodic FID/IS (``:543-557``), checkpointing.
 from __future__ import annotations
 
 import dataclasses
+import json
 import math
 import os
 from typing import List, Optional
@@ -26,6 +27,7 @@ from unet_design_tpu.ops import wavelet
 from unet_design_tpu.process import diffusion
 from unet_design_tpu.train import freezing, schedules, trainer
 from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils import config as config_lib
 from unet_design_tpu.utils.config import parse_cli
 from unet_design_tpu.utils.logging import MetricsLogger, get_logger
 
@@ -89,7 +91,14 @@ class TrainConfig:
     fid_weights: Optional[str] = None
     fid_stats_cache: Optional[str] = None
     metrics_every_iters: int = 100
-    resume: bool = False   # restore latest checkpoint (TRAIN_ID analog)
+    resume: bool = False   # restore latest checkpoint from own logdir
+    # Run-id restore (the reference's wandb TRAIN_ID / TEST_ID,
+    # diff_cifar/main.py:115-161): a run directory (or name under runs/)
+    # whose saved config.yaml REPLACES the CLI config and whose checkpoint
+    # is restored.  train_id continues training; test_id evaluates only.
+    train_id: str = ""
+    test_id: str = ""
+    restore_iter: int = 0       # 0 -> the run's latest checkpoint
     stop_after_steps: int = 0   # graceful preemption after N global steps
     logdir: str = "runs/diff_cifar"
 
@@ -163,6 +172,7 @@ def check_config(cfg: Config) -> None:
 
 
 def train(cfg: Config):
+    cfg = config_lib.restore_run_config(cfg)
     check_config(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     if cfg.data.dataset == "cifar10":
@@ -186,6 +196,9 @@ def train(cfg: Config):
 
     metrics = MetricsLogger(cfg.train.logdir)
     ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
+    # "saving H config..." (main.py:163-166) — makes this run restorable
+    # by id via train_id/test_id later.
+    config_lib.save_yaml(cfg, os.path.join(cfg.train.logdir, "config.yaml"))
     stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
                                              n_levels)
     sequ = len(stages) > 1
@@ -195,10 +208,16 @@ def train(cfg: Config):
     # loads model + EMA + optimizer + scheduler): full fidelity — the data
     # stream, flip randomness, per-step PRNG, optimizer moments and warmup
     # position all continue exactly where the interrupted run stopped.
+    src_ckpt = ckpt
     resume_step = 0
-    if cfg.train.resume and ckpt.latest_step() is not None:
+    if cfg.train.train_id:
+        src_ckpt = CheckpointManager(os.path.join(
+            config_lib.resolve_run_dir(cfg.train.train_id), "ckpt"))
+        resume_step = cfg.train.restore_iter or src_ckpt.latest_step() or 0
+    elif cfg.train.resume and ckpt.latest_step() is not None:
         resume_step = ckpt.latest_step()
-        raw = ckpt.restore_raw(resume_step)
+    if resume_step:
+        raw = src_ckpt.restore_raw(resume_step)
         to_tree = lambda t, like: jax.tree_util.tree_map(
             lambda _, v: jnp.asarray(v), like, t)
         params = to_tree(raw["params"], params)
@@ -241,7 +260,7 @@ def train(cfg: Config):
         if step_count < resume_step < step_count + stage.num_iterations:
             # mid-stage resume: optimizer moments, warmup position and the
             # per-step PRNG chain continue from the checkpoint
-            state = state.replace(**ckpt.restore(resume_step, {
+            state = state.replace(**src_ckpt.restore(resume_step, {
                 "params": state.params, "ema_params": state.ema_params,
                 "opt_state": state.opt_state, "rng": state.rng,
                 "step": state.step}))
@@ -458,10 +477,71 @@ def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
     return out
 
 
+def test_eval(cfg: Config):
+    """TEST_ID mode (``diff_cifar/main.py:148-161`` + the eval path
+    ``main.py:644-693``): restore a finished run by id and compute the
+    sampling evaluation (IS, and FID when stats/weights are configured) on
+    its EMA parameters, without training.  Returns the scores dict."""
+    cli = cfg
+    cfg = config_lib.restore_run_config(cfg)
+    if cfg is not cli:
+        # eval-protocol knobs stay CLI-owned in test mode (like TEST_ITER,
+        # ``main.py:148-149``): how to sample/score is an eval-time choice
+        cfg.train.num_eval_images = cli.train.num_eval_images
+        cfg.train.fid_weights = cli.train.fid_weights
+        cfg.train.fid_stats_cache = cli.train.fid_stats_cache
+        cfg.diffusion.sampler = cli.diffusion.sampler
+        cfg.diffusion.sample_steps = cli.diffusion.sample_steps
+    check_config(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    if cfg.data.dataset == "cifar10":
+        data, _ = image_data.load_cifar10(cfg.data.root, train=True)
+    else:
+        data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
+    highest_res = data.shape[1]
+
+    model = build_model(cfg)
+    n_levels = model.n_levels
+    sch = diffusion.DDPMSchedule.create(cfg.diffusion.beta_1,
+                                        cfg.diffusion.beta_T,
+                                        cfg.diffusion.T)
+    x_init = jnp.zeros((2, highest_res, highest_res, 3))
+    t_init = jnp.zeros((2,), jnp.int32)
+    params = model.init(rng, x_init, t_init)["params"]
+
+    src = CheckpointManager(os.path.join(
+        config_lib.resolve_run_dir(cfg.train.test_id), "ckpt"))
+    step = cfg.train.restore_iter or src.latest_step()
+    raw = src.restore_raw(step)
+    ema_params = jax.tree_util.tree_map(lambda _, v: jnp.asarray(v),
+                                        params, raw["ema_params"])
+    log.info("test_eval: restored run %s at step %s", cfg.train.test_id,
+             step)
+
+    stages = trainer.StageSpec.from_schedule(cfg.train.num_iterations_list,
+                                             n_levels)
+    final = stages[-1]
+    resolution = highest_res // 2 ** final.n_downsample
+    metrics = MetricsLogger(cfg.train.logdir)
+    scores = evaluate(cfg, model, ema_params, sch,
+                      jax.random.fold_in(rng, 40_000),
+                      final.n_levels_used, resolution)
+    metrics.log({f"eval/{k}": v for k, v in scores.items()
+                 if isinstance(v, (int, float))}, step or 0)
+    metrics.close()
+    with open(os.path.join(cfg.train.logdir, "eval_scores.json"),
+              "w") as f:
+        json.dump({k: float(v) for k, v in scores.items()}, f, indent=1)
+    return scores
+
+
 def main(argv=None):
     import sys
     cfg = parse_cli(Config, argv if argv is not None else sys.argv[1:])
-    train(cfg)
+    if cfg.train.test_id:
+        test_eval(cfg)
+    else:
+        train(cfg)
 
 
 if __name__ == "__main__":

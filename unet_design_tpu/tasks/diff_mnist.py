@@ -184,38 +184,8 @@ def check_config(cfg: Config) -> None:
         "beta_max must be < N or alphas go negative")
 
 
-def resolve_run_dir(run_id: str) -> str:
-    """A run id is a run directory, or a name under ``runs/``."""
-    if os.path.isdir(run_id):
-        return run_id
-    cand = os.path.join("runs", run_id)
-    if os.path.isdir(cand):
-        return cand
-    raise FileNotFoundError(f"run id {run_id!r}: no such run directory")
-
-
-def restore_run_config(cfg: Config) -> Config:
-    """TRAIN_ID/TEST_ID config restore (``diff_mnist/main.py:56-70``): the
-    stored run's config replaces the current one wholesale — "any passed
-    command line arguments are ignored" — except the restore fields
-    themselves and the (fresh) logdir of the new run."""
-    run_id = cfg.train.train_id or cfg.train.test_id
-    if not run_id:
-        return cfg
-    run_dir = resolve_run_dir(run_id)
-    restored = config_lib.from_yaml(
-        Config, os.path.join(run_dir, "config.yaml"))
-    restored.train.train_id = cfg.train.train_id
-    restored.train.test_id = cfg.train.test_id
-    restored.train.restore_iter = cfg.train.restore_iter
-    restored.train.resume = False
-    restored.train.logdir = cfg.train.logdir
-    # run-control, not hyperparameters: the old run's preemption point must
-    # not re-trigger in the continuation
-    restored.train.stop_after_steps = cfg.train.stop_after_steps
-    log.info("Restoring run %s: stored config replaces CLI arguments",
-             run_id)
-    return restored
+resolve_run_dir = config_lib.resolve_run_dir
+restore_run_config = config_lib.restore_run_config
 
 
 def train(cfg: Config):
@@ -548,7 +518,11 @@ def test_eval(cfg: Config):
     id and produce its sampling artifacts without training — one sample grid
     per trained resolution, plus super-resolution if the run configured it.
     Returns ``{resolution: samples}``."""
+    cli = cfg
     cfg = restore_run_config(cfg)
+    if cfg is not cli:
+        # eval-protocol knobs stay CLI-owned in test mode
+        cfg.train.n_samples = cli.train.n_samples
     check_config(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     data = load_dataset(cfg.data)

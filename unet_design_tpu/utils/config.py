@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Any, Dict, List, Optional, Sequence, Type, TypeVar
 
 import yaml
@@ -62,6 +63,43 @@ def save_yaml(cfg: Any, path: str) -> None:
     can later be restored by id with CLI args ignored."""
     with open(path, "w") as f:
         yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
+def resolve_run_dir(run_id: str) -> str:
+    """A run id is a run directory, or a name under ``runs/``."""
+    if os.path.isdir(run_id):
+        return run_id
+    cand = os.path.join("runs", run_id)
+    if os.path.isdir(cand):
+        return cand
+    raise FileNotFoundError(f"run id {run_id!r}: no such run directory")
+
+
+def restore_run_config(cfg: T) -> T:
+    """TRAIN_ID/TEST_ID config restore (``diff_mnist/main.py:56-70``,
+    ``diff_cifar/main.py:115-136``): the stored run's ``config.yaml``
+    replaces the current config wholesale — "any passed command line
+    arguments are ignored" — except the restore fields themselves and the
+    run-control fields (fresh logdir, preemption point) that belong to the
+    NEW run.  Works on any task config whose ``train`` section carries
+    ``train_id``/``test_id``/``restore_iter``."""
+    t = cfg.train
+    run_id = getattr(t, "train_id", "") or getattr(t, "test_id", "")
+    if not run_id:
+        return cfg
+    run_dir = resolve_run_dir(run_id)
+    from unet_design_tpu.utils.logging import get_logger
+    get_logger(__name__).info(
+        "Restoring run %s: stored config replaces CLI arguments", run_id)
+    restored = from_yaml(type(cfg), os.path.join(run_dir, "config.yaml"))
+    rt = restored.train
+    rt.train_id, rt.test_id = t.train_id, t.test_id
+    rt.restore_iter = t.restore_iter
+    rt.resume = False
+    rt.logdir = t.logdir
+    if hasattr(t, "stop_after_steps"):
+        rt.stop_after_steps = t.stop_after_steps
+    return restored
 
 
 def _parse_value(s: str) -> Any:
