@@ -51,7 +51,14 @@ def hausdorff95(test: np.ndarray, result: np.ndarray,
 
 def lesion_detection(test: np.ndarray, result: np.ndarray
                      ) -> Tuple[float, float, float]:
-    """(recall, precision, F1) of per-lesion detection with full 26-connectivity."""
+    """(recall, precision, F1) of per-lesion detection with full
+    26-connectivity.
+
+    Faithful to the challenge formula (``wmh/evaluation.py:147-174``):
+    precision counts DETECTED TRUE lesions over PREDICTED components, so a
+    single predicted blob covering k true lesions yields precision (and
+    hence F1) above 1 — a property of the official metric, kept for parity.
+    """
     structure = np.ones((3, 3, 3), int)
     cc_test, n_true = ndi.label(np.asarray(test, bool), structure)
     detected_labels = np.unique(cc_test[np.asarray(result, bool)])
