@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--ch", type=int, default=128,
                    help="model width (128 = the reference 35.7M config)")
     p.add_argument("--eval-batch", type=int, default=256)
+    p.add_argument("--eval-only", action="store_true",
+                   help="re-score an existing run's checkpoint (no training)")
     args = p.parse_args(argv)
 
     import jax
@@ -91,8 +93,18 @@ def main(argv=None):
                                  batch_size=args.eval_batch)
     print("FID before training:", json.dumps(before), flush=True)
 
-    state = diff_cifar.train(cfg)
-    after = diff_cifar.evaluate(cfg, model, state.ema_params, sch,
+    if args.eval_only:
+        from unet_design_tpu.train.checkpoint import CheckpointManager
+        src = CheckpointManager(os.path.join(args.logdir, "ckpt"))
+        raw = src.restore_raw(src.latest_step())
+        import jax.tree_util as jtu
+        ema_params = jtu.tree_map(lambda _, v: jnp.asarray(v), init_params,
+                                  raw["ema_params"])
+        print("eval-only: restored step", src.latest_step(), flush=True)
+    else:
+        state = diff_cifar.train(cfg)
+        ema_params = state.ema_params
+    after = diff_cifar.evaluate(cfg, model, ema_params, sch,
                                 jax.random.PRNGKey(7),
                                 n_levels_used=model.n_levels,
                                 resolution=32, num_images=args.images,

@@ -26,10 +26,15 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/table1_ns2d.md")
     p.add_argument("--json-out", default="docs/table1_ns2d.json")
+    p.add_argument("--title", default="NS-2D encoder ablation")
+    p.add_argument("--arms", nargs="*", default=None,
+                   help="label=rundir pairs (default: the NS-2D arms)")
     args = p.parse_args(argv)
 
+    arms = ARMS if not args.arms else \
+        [tuple(a.split("=", 1)) for a in args.arms]
     rows, merged = [], {}
-    for label, run in ARMS:
+    for label, run in arms:
         path = os.path.join(run, "test_metrics.json")
         if not os.path.exists(path):
             print(f"missing {path}; skipping {label!r}")
@@ -40,14 +45,12 @@ def main(argv=None):
         rows.append((label, m))
 
     lines = [
-        "# Paper Table 1 reproduction — NS-2D encoder ablation",
+        f"# Paper Table 1 reproduction — {args.title}",
         "",
-        "Unetbase-64_G, three encoder arms, full 50-epoch recipe "
-        "(AdamW 2e-4, wd 1e-5, warmup 5 / cosine 50, bs 8), scaled "
-        "protocol of `configs/pde_ns2d_table1.yaml` (1300/325/325 "
-        "self-generated 128px trajectories, 1/4 of the reference counts, "
-        "held constant across arms).  Metrics on the held-out test split "
-        "from the best-validation checkpoint.",
+        "Unetbase-64_G encoder arms under one shared recipe and dataset "
+        "(see the corresponding `configs/` yaml for the documented scaled "
+        "protocol, held constant across arms).  Metrics on the held-out "
+        "test split from the best-validation checkpoint.",
         "",
         "| Arm | one-step MSE | one-step ScaledL2 | rollout ScaledL2 "
         "(mean +/- std) |",

@@ -104,6 +104,18 @@ class FIDEvaluator:
             rng = jax.random.PRNGKey(0)
             fid_variables = self.model.init(
                 rng, jnp.zeros((1, 32, 32, 3)))
+            # He-rescale the conv kernels (x sqrt(2) over flax's default
+            # lecun init): without it, ~90 ReLU layers of variance-halving
+            # collapse the pool features to ~constants (measured feature std
+            # 3e-4) and FID degenerates to ~0 for ANY input pair.  With it,
+            # random-feature FID is a real two-sample discrepancy (feature
+            # std 0.56; different distributions separate by ~300x over
+            # same-distribution pairs).
+            fid_variables = dict(fid_variables)
+            fid_variables["params"] = jax.tree_util.tree_map_with_path(
+                lambda p, l: l * jnp.sqrt(2.0)
+                if getattr(p[-1], "key", "") == "kernel" else l,
+                fid_variables["params"])
         self.variables = fid_variables
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
         self.ref_stats = None

@@ -30,7 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 # allocation against the 16 MB limit).  Keep the slab <= 1.5 MB so the whole
 # working set stays within scoped VMEM.
 _VMEM_SLAB_BYTES = int(1.5 * 1024 * 1024)
-_VMEM_BUDGET_BYTES = _VMEM_SLAB_BYTES  # backwards-compat alias
 
 
 def pallas_eligible(shape) -> bool:

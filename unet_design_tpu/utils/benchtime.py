@@ -48,47 +48,73 @@ def make_repeated(fn: Callable, n_iters: int) -> Callable:
     return repeated
 
 
-def roundtrip_seconds() -> float:
+def roundtrip_seconds(n_probe: int = 5) -> float:
+    """Min-of-``n_probe`` trivial-transfer round-trips (the tunnel adds
+    hundreds of ms of jitter; min is the stable floor)."""
     x = jnp.zeros((1, 1), jnp.float32)
     f = jax.jit(lambda a: jnp.sum(a))
     float(f(x))  # warm
-    t0 = time.perf_counter()
-    float(f(x))
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(n_probe):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _timed_total(repeated: Callable, args: Sequence[Any],
+                 n_repeat: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n_repeat):
+        t0 = time.perf_counter()
+        float(repeated(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def measure(fn: Callable, args: Sequence[Any], n_iters: int = 20,
-            n_warmup: int = 2) -> float:
-    """Seconds per single ``fn(*args)`` execution on the default backend."""
-    repeated = make_repeated(fn, n_iters)
-    for _ in range(n_warmup):
-        float(repeated(*args))
+            n_warmup: int = 2, max_iters: int = 20480) -> float:
+    """Seconds per single ``fn(*args)`` execution on the default backend.
+
+    Adaptive: if ``n_iters`` executions don't clear the round-trip noise
+    floor (sub-ms kernels on a ~100 ms tunnel), the iteration count doubles
+    (recompiling the scan) until the measured excess is at least half the
+    round-trip or 50 ms."""
     rt = roundtrip_seconds()
-    t0 = time.perf_counter()
-    float(repeated(*args))
-    total = time.perf_counter() - t0
-    return max(total - rt, 0.0) / n_iters
+    while True:
+        repeated = make_repeated(fn, n_iters)
+        for _ in range(n_warmup):
+            float(repeated(*args))
+        total = _timed_total(repeated, args)
+        if (total - rt >= max(0.5 * rt, 0.05)) or n_iters >= max_iters:
+            return max(total - rt, 1e-9) / n_iters
+        n_iters *= 2
 
 
 def measure_unrolled(fn: Callable, args: Sequence[Any], n_iters: int = 10,
-                     n_warmup: int = 2) -> float:
+                     n_warmup: int = 2, max_iters: int = 512) -> float:
     """Like :func:`measure` but with a python-unrolled dependency chain
     instead of ``lax.scan`` — required for Pallas kernels on tunneled TPU
-    backends where pallas-inside-scan wedges the device."""
+    backends where pallas-inside-scan wedges the device.  Adaptive like
+    :func:`measure` (capped lower: the chain is unrolled into the graph)."""
 
-    @jax.jit
-    def repeated(*a):
-        eps = jnp.float32(1e-30)
-        prev = jnp.float32(0.0)
-        for _ in range(n_iters):
-            out = fn(a[0] + eps * prev, *a[1:])
-            prev = _scalar_of(out)
-        return prev
+    def build(n):
+        @jax.jit
+        def repeated(*a):
+            eps = jnp.float32(1e-30)
+            prev = jnp.float32(0.0)
+            for _ in range(n):
+                out = fn(a[0] + eps * prev, *a[1:])
+                prev = _scalar_of(out)
+            return prev
+        return repeated
 
-    for _ in range(n_warmup):
-        float(repeated(*args))
     rt = roundtrip_seconds()
-    t0 = time.perf_counter()
-    float(repeated(*args))
-    total = time.perf_counter() - t0
-    return max(total - rt, 0.0) / n_iters
+    while True:
+        repeated = build(n_iters)
+        for _ in range(n_warmup):
+            float(repeated(*args))
+        total = _timed_total(repeated, args)
+        if (total - rt >= max(0.5 * rt, 0.05)) or n_iters >= max_iters:
+            return max(total - rt, 1e-9) / n_iters
+        n_iters *= 2
