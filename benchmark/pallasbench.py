@@ -1,10 +1,11 @@
-"""On-chip Pallas-vs-XLA benchmarks for the two custom kernels.
+"""On-chip Pallas-vs-XLA benchmark for the fused Haar pyramid kernel.
 
-Decides the integrate-or-delete question with real numbers: the fused
-GroupNorm(+act) kernel vs flax GroupNorm + activation, and the fused Haar
-LL pyramid vs the separate avg-pool chain (``ops/wavelet.dwt_pyramid``),
-at the shapes the products actually run (diffusion 32px bs=128/256, PDE
-128px bs=8).
+The integrate-or-delete record (docs/tpu_notes.md): the fused
+GroupNorm(+act) kernel measured SLOWER than XLA at every eligible product
+shape (0.55x/0.72x; XLA's fused GN+silu is at the HBM roofline) and was
+deleted; the fused Haar LL pyramid loses at 32px diffusion shapes (grid of
+B*C tiny planes serializes) but wins 3.1x at the 128px PDE multi-res
+target shape, where it is integrated behind ``train.use_pallas_haar``.
 
 Pallas-in-scan wedges the tunneled axon backend (CLAUDE.md), so the pallas
 paths time with ``measure_unrolled`` and the XLA paths with the same
@@ -21,51 +22,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def bench_groupnorm(shapes, n_iters=10):
-    import jax
-    import jax.numpy as jnp
-    from flax import linen as nn
-    from unet_design_tpu.ops.pallas.groupnorm import (fused_groupnorm_act,
-                                                      pallas_eligible)
-    from unet_design_tpu.utils import benchtime
-
-    results = {}
-    for (b, h, w, c) in shapes:
-        key = f"gn_b{b}_{h}x{w}x{c}"
-        if not pallas_eligible((b, h, w, c)):
-            results[key] = {"pallas": "fallback (slab exceeds scoped VMEM)"}
-            print(key, results[key], flush=True)
-            continue
-        x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c),
-                              jnp.float32)
-        scale = jnp.ones((c,))
-        bias = jnp.zeros((c,))
-
-        def xla_gn(x, scale, bias):
-            gn = nn.GroupNorm(num_groups=32, epsilon=1e-5,
-                              use_bias=False, use_scale=False)
-            y = gn.apply({}, x)
-            y = y * scale + bias
-            return jax.nn.silu(y)
-
-        def pallas_gn(x, scale, bias):
-            return fused_groupnorm_act(x, scale, bias, num_groups=32,
-                                       activation="silu")
-
-        try:
-            t_x = benchtime.measure_unrolled(xla_gn, (x, scale, bias),
-                                             n_iters)
-            t_p = benchtime.measure_unrolled(pallas_gn, (x, scale, bias),
-                                             n_iters)
-            results[key] = {"xla_us": round(t_x * 1e6, 1),
-                            "pallas_us": round(t_p * 1e6, 1),
-                            "speedup": round(t_x / max(t_p, 1e-12), 3)}
-        except Exception as e:  # keep the sweep alive
-            results[key] = {"error": repr(e)[:200]}
-        print(key, results[key], flush=True)
-    return results
 
 
 def bench_haar(shapes, n_levels=4, n_iters=10):
@@ -106,9 +62,6 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     results = {}
-    results.update(bench_groupnorm(
-        [(128, 32, 32, 128), (256, 32, 32, 128), (8, 128, 128, 64)],
-        args.iters))
     results.update(bench_haar(
         [(128, 32, 32, 3), (256, 32, 32, 3), (8, 128, 128, 3)],
         n_levels=4, n_iters=args.iters))

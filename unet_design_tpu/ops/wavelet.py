@@ -167,8 +167,8 @@ def haar_downsample_traj(x: jnp.ndarray, octaves: int) -> jnp.ndarray:
     return y.reshape(b, t, *y.shape[1:])
 
 
-def multires_targets_traj(y: jnp.ndarray, n_levels: int, n_downsample: int
-                          ) -> List[jnp.ndarray]:
+def multires_targets_traj(y: jnp.ndarray, n_levels: int, n_downsample: int,
+                          pyramid_fn=None) -> List[jnp.ndarray]:
     """Decoder-order multi-res targets for a trajectory ``(B, T, H, W, C)``.
 
     Mirrors the multi-res branch of ``PDEModel.dwt_downsample``
@@ -182,6 +182,11 @@ def multires_targets_traj(y: jnp.ndarray, n_levels: int, n_downsample: int
     base = haar_downsample_traj(y, n_downsample)
     n = n_levels - n_downsample
     b, t = base.shape[:2]
-    pyr = dwt_pyramid(base.reshape(b * t, *base.shape[2:]), n)
+    # pyramid_fn: drop-in pyramid implementation — pass
+    # ``ops.pallas.haar.haar_pyramid_fused`` (3.1x at the 128px PDE target
+    # shape on v5e, docs/tpu_notes.md) on backends where pallas-in-scan is
+    # safe; default is the XLA avg-pool chain.
+    pyr = (pyramid_fn or dwt_pyramid)(
+        base.reshape(b * t, *base.shape[2:]), n)
     pyr = [p.reshape(b, t, *p.shape[1:]) for p in pyr]
     return pyr[::-1]

@@ -97,6 +97,11 @@ class TrainConfig:
     # cadence of the full-state 'latest' checkpoint (a ~3x-params write;
     # every epoch is safest, sparser is faster for long runs)
     save_latest_every: int = 1
+    # Pallas fused Haar pyramid for the multi-res-loss targets (3.1x vs the
+    # XLA avg-pool chain at the 128px PDE shape on v5e).  Off by default:
+    # the training step runs inside lax.scan, and pallas-in-scan hangs
+    # tunneled (axon) backends — enable on directly-attached TPUs only.
+    use_pallas_haar: bool = False
     logdir: str = "runs/pde"
 
 
@@ -348,7 +353,13 @@ def train(cfg: Config):
                 else:
                     pred = model.apply({"params": p}, x)
                 if cfg.model.multi_res_loss and g_model:
-                    ys = wavelet.multires_targets_traj(y, n_levels, nd)
+                    if cfg.train.use_pallas_haar:
+                        from unet_design_tpu.ops.pallas.haar import \
+                            haar_pyramid_fused as _pyr
+                    else:
+                        _pyr = None
+                    ys = wavelet.multires_targets_traj(y, n_levels, nd,
+                                                       pyramid_fn=_pyr)
                     ys = ys[-len(pred):]
                     loss = losses_lib.multires_sum(criterion, pred, ys)
                     pred_f, y_f = pred[-1], ys[-1]
