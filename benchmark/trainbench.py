@@ -87,20 +87,15 @@ def bench_train_step(name: str, use_bf16: bool, n_iters: int = 20,
     except Exception:
         pass
 
-    # warmup (compile) then timed run; scalar fetch anchors the clock
+    # warmup (compile) then timed run; scalar fetch anchors the clock.
+    # Round-trip comes from benchtime's min-of-N probe (a single-shot probe
+    # is dominated by tunnel jitter and can exceed the whole measurement).
+    from unet_design_tpu.utils import benchtime
     float(run_n(state, (x, y)))
-    # round-trip probe: warm it FIRST (its own jit compile otherwise lands
-    # in rt and total - rt goes negative for the first benched config)
-    probe = jax.jit(lambda v: v + 1.0)
-    float(probe(jnp.float32(0.0)))
+    rt = benchtime.roundtrip_seconds()
     t0 = time.time()
     float(run_n(state, (x, y)))
     total = time.time() - t0
-    t0 = time.time()
-    float(probe(jnp.float32(0.0)))
-    rt = time.time() - t0
-    if total <= rt:  # measurement swamped by the tunnel round-trip
-        rt = 0.0
     t_step = max(total - rt, 1e-9) / n_iters
 
     out = {"time_s": round(t_step, 6),

@@ -71,27 +71,47 @@ def main(argv=None):
         data, _ = image_data.load_cifar10(cfg.data.root, train=True)
     else:
         data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
-    evaluator = FIDEvaluator(stats_cache=None)
-    evaluator.save_reference_stats(((data + 1.0) / 2.0)[:args.dataset_size],
-                                   stats_path)
-    print("dataset stats saved:", stats_path, flush=True)
+    need_stats = True
+    if args.eval_only and os.path.exists(stats_path):
+        try:  # reuse only same-feature-space stats
+            FIDEvaluator(stats_cache=stats_path)
+            need_stats = False
+            print("reusing dataset stats:", stats_path, flush=True)
+        except ValueError:
+            pass
+    if need_stats:
+        evaluator = FIDEvaluator(stats_cache=None)
+        evaluator.save_reference_stats(
+            ((data + 1.0) / 2.0)[:args.dataset_size], stats_path)
+        print("dataset stats saved:", stats_path, flush=True)
 
     model = diff_cifar.build_model(cfg)
     sch = diffusion.DDPMSchedule.create(cfg.diffusion.beta_1,
                                         cfg.diffusion.beta_T,
                                         cfg.diffusion.T)
 
-    # FID at INIT (untrained model)
+    # FID at INIT (untrained model); in eval-only mode reuse the artifact's
+    # 'before' number instead of re-sampling from a random model on-chip
     import jax.numpy as jnp
     rng = jax.random.PRNGKey(123)
     init_params = model.init(rng, jnp.zeros((2, 32, 32, 3)),
                              jnp.zeros((2,), jnp.int32))["params"]
-    before = diff_cifar.evaluate(cfg, model, init_params, sch,
-                                 jax.random.PRNGKey(7),
-                                 n_levels_used=model.n_levels,
-                                 resolution=32, num_images=args.images,
-                                 batch_size=args.eval_batch)
-    print("FID before training:", json.dumps(before), flush=True)
+    proof_path = os.path.join(args.logdir, "fid_proof.json")
+    before = None
+    if args.eval_only and os.path.exists(proof_path):
+        with open(proof_path) as f:
+            prev = json.load(f)
+        if prev.get("fid_untrained") is not None:
+            before = {"FID": prev["fid_untrained"],
+                      "IS": prev.get("is_untrained")}
+            print("reusing untrained FID from", proof_path, flush=True)
+    if before is None:
+        before = diff_cifar.evaluate(cfg, model, init_params, sch,
+                                     jax.random.PRNGKey(7),
+                                     n_levels_used=model.n_levels,
+                                     resolution=32, num_images=args.images,
+                                     batch_size=args.eval_batch)
+        print("FID before training:", json.dumps(before), flush=True)
 
     if args.eval_only:
         from unet_design_tpu.train.checkpoint import CheckpointManager

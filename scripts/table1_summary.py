@@ -6,8 +6,8 @@ the saved parameters re-spent as extra decoder ResNet layers.  Reads each
 arm's ``test_metrics.json`` written by ``scripts/eval_pde.py`` and emits a
 markdown table plus a merged JSON artifact.
 
-  python scripts/table1_summary.py [--runs runs/table1_classical \
-      runs/table1_dwt runs/table1_dwt_dec] [--out docs/table1_ns2d.md]
+  python scripts/table1_summary.py [--out docs/table1_ns2d.md] \
+      [--arms "classical=runs/table1_classical" "dwt=runs/table1_dwt" ...]
 """
 from __future__ import annotations
 
@@ -31,8 +31,13 @@ def main(argv=None):
                    help="label=rundir pairs (default: the NS-2D arms)")
     args = p.parse_args(argv)
 
-    arms = ARMS if not args.arms else \
-        [tuple(a.split("=", 1)) for a in args.arms]
+    if args.arms:
+        bad = [a for a in args.arms if "=" not in a]
+        if bad:
+            p.error(f"--arms entries must be label=rundir, got {bad}")
+        arms = [tuple(a.split("=", 1)) for a in args.arms]
+    else:
+        arms = ARMS
     rows, merged = [], {}
     for label, run in arms:
         path = os.path.join(run, "test_metrics.json")

@@ -290,3 +290,16 @@ def test_cifar_test_id_evaluates_without_training(tmp_path):
     scores = diff_cifar.test_eval(cfg)
     assert "IS" in scores and np.isfinite(scores["IS"])
     assert (tmp_path / "cf_eval" / "eval_scores.json").exists()
+
+
+def test_train_id_empty_source_fails_loudly(tmp_path):
+    """train_id pointing at a run with no checkpoint must raise, not
+    silently train from scratch under the stored config."""
+    from unet_design_tpu.utils import config as config_lib
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    config_lib.save_yaml(tiny_cfg(tmp_path, "empty_src"), str(src / "config.yaml"))
+    cfg = tiny_cfg(tmp_path, "cont")
+    cfg.train.train_id = str(src)
+    with pytest.raises(FileNotFoundError):
+        diff_cifar.train(cfg)

@@ -150,3 +150,26 @@ def test_rollout_mse_per_step():
     np.testing.assert_allclose(np.asarray(v), 1.0)
     s = metrics.unrolled_summaries(v)
     np.testing.assert_allclose(float(s["unrolled_loss"]), 5.0)
+
+
+def test_stats_cache_feature_version_guard(tmp_path):
+    """Stats written by one feature network must be rejected by an
+    evaluator using another (mixing feature spaces makes FID meaningless);
+    untagged caches count as pretrained (the reference npz format)."""
+    import numpy as np
+    import pytest
+    from unet_design_tpu.evalx.fid import FIDEvaluator
+
+    path = str(tmp_path / "stats.npz")
+    ev = FIDEvaluator()  # random-he-sqrt2 features
+    imgs = np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 3)) \
+        .astype(np.float32)
+    ev.save_reference_stats(imgs, path)
+    # same feature space: loads fine
+    ev2 = FIDEvaluator(stats_cache=path)
+    assert ev2.ref_stats is not None
+    # untagged cache == pretrained space: random evaluator must refuse
+    np.savez(str(tmp_path / "untagged.npz"), mu=ev.ref_stats[0],
+             sigma=ev.ref_stats[1])
+    with pytest.raises(ValueError, match="feature"):
+        FIDEvaluator(stats_cache=str(tmp_path / "untagged.npz"))

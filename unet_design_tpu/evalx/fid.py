@@ -118,9 +118,25 @@ class FIDEvaluator:
                 fid_variables["params"])
         self.variables = fid_variables
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
+        # feature-space tag: stats computed by a different feature network
+        # (pretrained vs random, or a different random-init scheme) are not
+        # comparable and must not be silently mixed
+        self.feature_version = ("pretrained" if self._have_weights
+                                else "random-he-sqrt2")
         self.ref_stats = None
         if stats_cache and os.path.exists(stats_cache):
             d = np.load(stats_cache)
+            tag = str(d["feature_version"]) if "feature_version" in d \
+                else "pretrained"  # the reference's own stats npz (e.g.
+            # cifar10.train.npz) carries only mu/sigma and is always a
+            # pretrained-feature artifact
+            if tag != self.feature_version:
+                raise ValueError(
+                    f"stats cache {stats_cache!r} was computed with feature "
+                    f"network {tag!r}, evaluator uses "
+                    f"{self.feature_version!r}; regenerate the stats "
+                    f"(save_reference_stats) - mixing feature spaces makes "
+                    f"FID meaningless")
             self.ref_stats = (d["mu"][:], d["sigma"][:])
 
     def activations(self, images: np.ndarray
@@ -149,5 +165,6 @@ class FIDEvaluator:
     def save_reference_stats(self, images: np.ndarray, path: str) -> None:
         acts, _ = self.activations(images)
         mu, sigma = activation_statistics(acts)
-        np.savez(path, mu=mu, sigma=sigma)
+        np.savez(path, mu=mu, sigma=sigma,
+                 feature_version=self.feature_version)
         self.ref_stats = (mu, sigma)

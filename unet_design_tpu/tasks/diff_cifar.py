@@ -214,6 +214,14 @@ def train(cfg: Config):
         src_ckpt = CheckpointManager(os.path.join(
             config_lib.resolve_run_dir(cfg.train.train_id), "ckpt"))
         resume_step = cfg.train.restore_iter or src_ckpt.latest_step() or 0
+        if not resume_step:
+            raise FileNotFoundError(
+                f"train_id {cfg.train.train_id!r}: no checkpoint to restore")
+        # a preempted continuation rerun must pick up its OWN newer
+        # checkpoints, not recompute from the source run's
+        own_latest = ckpt.latest_step()
+        if own_latest is not None and own_latest > resume_step:
+            src_ckpt, resume_step = ckpt, own_latest
     elif cfg.train.resume and ckpt.latest_step() is not None:
         resume_step = ckpt.latest_step()
     if resume_step:
@@ -492,6 +500,11 @@ def test_eval(cfg: Config):
         cfg.train.fid_stats_cache = cli.train.fid_stats_cache
         cfg.diffusion.sampler = cli.diffusion.sampler
         cfg.diffusion.sample_steps = cli.diffusion.sample_steps
+    if cli.train.logdir == type(cli.train)().logdir:
+        # no explicit logdir: write eval artifacts next to the restored run
+        # instead of appending into whatever lives at the default logdir
+        cfg.train.logdir = os.path.join(
+            config_lib.resolve_run_dir(cfg.train.test_id), "eval")
     check_config(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     if cfg.data.dataset == "cifar10":

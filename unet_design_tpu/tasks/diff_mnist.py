@@ -235,6 +235,14 @@ def train(cfg: Config):
         src_ckpt = CheckpointManager(os.path.join(
             resolve_run_dir(cfg.train.train_id), "ckpt"))
         resume_step = cfg.train.restore_iter or src_ckpt.latest_step() or 0
+        if not resume_step:
+            raise FileNotFoundError(
+                f"train_id {cfg.train.train_id!r}: no checkpoint to restore")
+        # a preempted continuation rerun must pick up its OWN newer
+        # checkpoints, not recompute from the source run's
+        own_latest = ckpt.latest_step()
+        if own_latest is not None and own_latest > resume_step:
+            src_ckpt, resume_step = ckpt, own_latest
     elif cfg.train.resume and ckpt.latest_step() is not None:
         resume_step = ckpt.latest_step()
     if resume_step:
@@ -523,6 +531,11 @@ def test_eval(cfg: Config):
     if cfg is not cli:
         # eval-protocol knobs stay CLI-owned in test mode
         cfg.train.n_samples = cli.train.n_samples
+    if cli.train.logdir == type(cli.train)().logdir:
+        # no explicit logdir: write eval artifacts next to the restored run
+        # instead of appending into whatever lives at the default logdir
+        cfg.train.logdir = os.path.join(
+            resolve_run_dir(cfg.train.test_id), "eval")
     check_config(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     data = load_dataset(cfg.data)

@@ -353,11 +353,19 @@ def train(cfg: Config):
                 else:
                     pred = model.apply({"params": p}, x)
                 if cfg.model.multi_res_loss and g_model:
+                    _pyr = None
                     if cfg.train.use_pallas_haar:
-                        from unet_design_tpu.ops.pallas.haar import \
-                            haar_pyramid_fused as _pyr
-                    else:
-                        _pyr = None
+                        # only safe on a directly-attached TPU: the step
+                        # runs inside lax.scan and pallas-in-scan wedges
+                        # tunneled (axon) backends; CPU can't lower it
+                        if jax.default_backend() == "tpu":
+                            from unet_design_tpu.ops.pallas.haar import \
+                                haar_pyramid_fused as _pyr
+                        else:
+                            log.warning(
+                                "use_pallas_haar ignored on backend %r "
+                                "(needs a directly-attached TPU)",
+                                jax.default_backend())
                     ys = wavelet.multires_targets_traj(y, n_levels, nd,
                                                        pyramid_fn=_pyr)
                     ys = ys[-len(pred):]

@@ -88,7 +88,7 @@ def measure(fn: Callable, args: Sequence[Any], n_iters: int = 20,
         total = _timed_total(repeated, args)
         if (total - rt >= max(0.5 * rt, 0.05)) or n_iters >= max_iters:
             return max(total - rt, 1e-9) / n_iters
-        n_iters *= 2
+        n_iters = min(n_iters * 2, max_iters)
 
 
 def measure_unrolled(fn: Callable, args: Sequence[Any], n_iters: int = 10,
@@ -117,4 +117,4 @@ def measure_unrolled(fn: Callable, args: Sequence[Any], n_iters: int = 10,
         total = _timed_total(repeated, args)
         if (total - rt >= max(0.5 * rt, 0.05)) or n_iters >= max_iters:
             return max(total - rt, 1e-9) / n_iters
-        n_iters *= 2
+        n_iters = min(n_iters * 2, max_iters)

@@ -67,6 +67,8 @@ def save_yaml(cfg: Any, path: str) -> None:
 
 def resolve_run_dir(run_id: str) -> str:
     """A run id is a run directory, or a name under ``runs/``."""
+    if not run_id:
+        raise ValueError("empty run id")
     if os.path.isdir(run_id):
         return run_id
     cand = os.path.join("runs", run_id)
