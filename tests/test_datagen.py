@@ -158,6 +158,28 @@ class TestShallowWater:
         stats = np.load(tmp_path / "normstats.npz")
         assert stats["vor_std"] > 0
 
+    def test_opener_2day_subsampling(self, tmp_path):
+        """The 2-day task reads ``[4::8]`` of the stored frames
+        (``shallowwater2d.py:103-109`` via ``ShallowWaterDatasetOpener2Day``
+        ``:124-132``); 88 stored frames must become the reference's
+        trajlen=11, and ``sample_rate=1`` must leave frames untouched."""
+        from unet_design_tpu.data.pde import ShallowWaterOpener
+        u = np.arange(88, dtype=np.float32)[:, None, None, None]
+        u = np.broadcast_to(u, (88, 6, 12, 1)).copy()
+        v = np.broadcast_to(u, (88, 6, 12, 2)).copy()
+        np.savez(tmp_path / "train_seed0.npz", u=u, v=v)
+        listed = ShallowWaterOpener.list_files(str(tmp_path), "train")
+        (us, vs, _), = list(ShallowWaterOpener(listed, "train",
+                                               skip_nt=4, sample_rate=8))
+        assert us.shape == (11, 6, 12, 1) and vs.shape == (11, 6, 12, 2)
+        np.testing.assert_array_equal(us[:, 0, 0, 0],
+                                      np.arange(4, 88, 8, dtype=np.float32))
+        # sample_rate=1: no slicing at all (reference applies the skip_nt
+        # offset only inside the sample_rate > 1 branch)
+        (uf, _, _), = list(ShallowWaterOpener(listed, "train",
+                                              skip_nt=4, sample_rate=1))
+        assert uf.shape == (88, 6, 12, 1)
+
     def test_valid_mode_does_not_clobber_train_normstats(self, tmp_path):
         from unet_design_tpu.datagen import shallow_water as sw
         from unet_design_tpu.data.pde import ShallowWaterOpener

@@ -131,10 +131,25 @@ class ShallowWaterOpener:
     """
 
     def __init__(self, paths: Sequence[str], mode: str,
-                 limit_trajectories: Optional[int] = None):
+                 limit_trajectories: Optional[int] = None,
+                 skip_nt: int = 0, sample_rate: int = 1):
         self.paths = list(paths)
         self.mode = mode
         self.limit = limit_trajectories
+        # temporal subsampling (``shallowwater2d.py:103-109``): the raw
+        # trajectories are stored at the solver's save cadence; the 2-day
+        # task reads ``[skip_nt::sample_rate]`` = ``[4::8]``
+        # (``ShallowWaterDatasetOpener2Day``, ``shallowwater2d.py:124-132``)
+        # and the 1-day task ``[4::4]`` (``:146-154``).  Like the reference,
+        # the slice (including ``skip_nt``) only applies when
+        # ``sample_rate > 1``.
+        self.skip_nt = skip_nt
+        self.sample_rate = sample_rate
+
+    def _subsample(self, arr: np.ndarray) -> np.ndarray:
+        if self.sample_rate > 1:
+            return arr[self.skip_nt::self.sample_rate]
+        return arr
 
     @staticmethod
     def list_files(data_path: str, mode: str) -> List[str]:
@@ -167,7 +182,8 @@ class ShallowWaterOpener:
                     normstat = np.load(normpath)
                     u = ((u - normstat["vor_mean"])
                          / normstat["vor_std"])  # zarr-path parity
-                yield u, np.asarray(d["v"], np.float32), None
+                yield (self._subsample(u),
+                       self._subsample(np.asarray(d["v"], np.float32)), None)
                 count += 1
                 continue
             try:
@@ -191,7 +207,7 @@ class ShallowWaterOpener:
             u = vor.reshape(vor.shape[0], *vor.shape[-2:])[..., None]
             v = np.stack([u_wind.reshape(u.shape[:3]),
                           v_wind.reshape(u.shape[:3])], axis=-1)
-            yield u, v, None
+            yield self._subsample(u), self._subsample(v), None
             count += 1
 
 

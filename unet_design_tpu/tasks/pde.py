@@ -62,6 +62,11 @@ class DataConfig:
     time_gap: int = 0
     max_num_steps: int = 5
     batch_size: int = 8
+    # shallow-water temporal subsampling of the stored frames
+    # (``datapipes/shallowwater2d.py:103-109``): the 2-day task reads
+    # ``[4::8]``, the 1-day task ``[4::4]``; 1 = no subsampling.
+    skip_nt: int = 0
+    sample_rate: int = 1
     limit_trajectories: Optional[int] = None
     n_synthetic: int = 8
     # windows drawn per trajectory per epoch; None = trajlen, the reference
@@ -89,6 +94,12 @@ class TrainConfig:
     criterion: str = "mse"           # mse | scaledl2
     warmup_epochs: int = 0           # >0 enables LinearWarmupCosine
     eta_min: float = 0.0             # cosine floor (README recipe: 1e-7)
+    warmup_start_lr: float = 0.0     # reference default 1e-8
+    # cosine horizon in epochs; None = total training epochs.  The reference
+    # sw2d recipe anneals over 30 epochs while training 20
+    # (``configs/shallowwater2d_2day.yaml`` lr_scheduler max_epochs=30 vs
+    # trainer max_epochs=20), so the LR never reaches eta_min there.
+    scheduler_max_epochs: Optional[int] = None
     freeze_lower_res: bool = False
     seed: int = 0
     val_every_epochs: int = 1
@@ -144,7 +155,9 @@ def open_trajectories(cfg: DataConfig, mode: str):
         files = pde_data.ShallowWaterOpener.list_files(cfg.data_path, mode)
         files = loader_lib.shard_for_process(files)
         return pde_data.ShallowWaterOpener(files, mode,
-                                           cfg.limit_trajectories)
+                                           cfg.limit_trajectories,
+                                           skip_nt=cfg.skip_nt,
+                                           sample_rate=cfg.sample_rate)
     if cfg.task == "synthetic":
         return pde_data.synthetic_trajectories(cfg.n_synthetic,
                                                pde_config(cfg),
@@ -259,7 +272,9 @@ def train(cfg: Config):
         n_windows = count_trajectories() * cycles
         steps_per_epoch = max(1, -(-n_windows // cfg.data.batch_size))
         lr = schedules.linear_warmup_cosine_annealing(
-            cfg.train.lr, cfg.train.warmup_epochs, n_epochs_total,
+            cfg.train.lr, cfg.train.warmup_epochs,
+            cfg.train.scheduler_max_epochs or n_epochs_total,
+            warmup_start_lr=cfg.train.warmup_start_lr,
             eta_min=cfg.train.eta_min, steps_per_epoch=steps_per_epoch)
 
     # Full-fidelity resume: params, BatchNorm stats, optimizer moments,
