@@ -40,7 +40,18 @@ def main(argv=None):
     p.add_argument("--eval-batch", type=int, default=256)
     p.add_argument("--eval-only", action="store_true",
                    help="re-score an existing run's checkpoint (no training)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the logdir's latest checkpoint")
+    p.add_argument("--milestones", default=None,
+                   help="comma-separated cumulative step counts; train to "
+                        "each in turn (resuming in between) and score FID "
+                        "at every milestone, recording the full curve")
     args = p.parse_args(argv)
+    if args.milestones:
+        milestones = [int(s) for s in args.milestones.split(",")]
+        assert milestones == sorted(milestones), milestones
+    else:
+        milestones = [args.steps]
 
     import jax
     import numpy as np
@@ -113,6 +124,13 @@ def main(argv=None):
                                      batch_size=args.eval_batch)
         print("FID before training:", json.dumps(before), flush=True)
 
+    curve = {}
+    if os.path.exists(proof_path):  # extend an existing curve across runs
+        with open(proof_path) as f:
+            prev = json.load(f)
+        curve.update(prev.get("fid_curve", {}))
+        if prev.get("train_steps") and prev.get("fid_trained") is not None:
+            curve.setdefault(str(prev["train_steps"]), prev["fid_trained"])
     if args.eval_only:
         from unet_design_tpu.train.checkpoint import CheckpointManager
         src = CheckpointManager(os.path.join(args.logdir, "ckpt"))
@@ -121,20 +139,35 @@ def main(argv=None):
         ema_params = jtu.tree_map(lambda _, v: jnp.asarray(v), init_params,
                                   raw["ema_params"])
         print("eval-only: restored step", src.latest_step(), flush=True)
+        after = diff_cifar.evaluate(cfg, model, ema_params, sch,
+                                    jax.random.PRNGKey(7),
+                                    n_levels_used=model.n_levels,
+                                    resolution=32, num_images=args.images,
+                                    batch_size=args.eval_batch)
+        curve[str(src.latest_step())] = after.get("FID")
+        total_steps = src.latest_step()
     else:
-        state = diff_cifar.train(cfg)
-        ema_params = state.ema_params
-    after = diff_cifar.evaluate(cfg, model, ema_params, sch,
-                                jax.random.PRNGKey(7),
-                                n_levels_used=model.n_levels,
-                                resolution=32, num_images=args.images,
-                                batch_size=args.eval_batch)
+        cfg.train.resume = args.resume
+        for m in milestones:
+            cfg.train.num_iterations_list = [m]
+            state = diff_cifar.train(cfg)
+            cfg.train.resume = True   # later milestones continue the run
+            after = diff_cifar.evaluate(cfg, model, state.ema_params, sch,
+                                        jax.random.PRNGKey(7),
+                                        n_levels_used=model.n_levels,
+                                        resolution=32,
+                                        num_images=args.images,
+                                        batch_size=args.eval_batch)
+            curve[str(m)] = after.get("FID")
+            print(f"FID at {m} steps:", json.dumps(after), flush=True)
+        total_steps = milestones[-1]
     print("FID after training:", json.dumps(after), flush=True)
 
     out = {"fid_untrained": before.get("FID"),
            "fid_trained": after.get("FID"),
            "is_untrained": before.get("IS"), "is_trained": after.get("IS"),
-           "train_steps": args.steps, "n_images": args.images,
+           "train_steps": total_steps, "n_images": args.images,
+           "fid_curve": {k: curve[k] for k in sorted(curve, key=int)},
            "note": ("random seeded Inception weights (no egress for the "
                     "pt_inception .pth); architecture parity-proven, "
                     "absolute FID not comparable to published numbers")}
