@@ -63,8 +63,9 @@ def main(argv=None):
     print(f"loaded {args.ckpt} checkpoint step {step} "
           f"from {cfg.train.logdir}/{sub}", flush=True)
 
-    opener = pde_data.CachedOpener(
-        pde_task.open_trajectories(cfg.data, args.split))
+    opener = pde_data.cached_opener(
+        pde_task.open_trajectories(cfg.data, args.split),
+        pde.n_scalar_components, pde_task.stack_cache_dir(cfg.data))
     fields = jnp.asarray(opener.stacked_fields())
     print(f"{args.split} set staged: {fields.shape}", flush=True)
 

@@ -180,3 +180,64 @@ def test_wmh_augmentation_policies():
         assert ai.shape == imgs.shape and am.shape == masks.shape
         # masks stay binary under nearest-neighbour warping
         assert set(np.unique(am)) <= {0.0, 1.0}
+
+
+def test_stacked_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """cached_opener writes one stacked array per split and reloads it:
+    identical tuples/stack, stable across processes, invalidated when a
+    source file changes."""
+    import numpy as np
+    from unet_design_tpu.data import pde as pde_data
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.savez(tmp_path / f"train_seed{i}.npz",
+                 u=rng.normal(size=(16, 8, 8, 1)).astype(np.float32),
+                 v=rng.normal(size=(16, 8, 8, 2)).astype(np.float32))
+    files = pde_data.ShallowWaterOpener.list_files(str(tmp_path), "train")
+    mk = lambda: pde_data.ShallowWaterOpener(files, "train",
+                                             skip_nt=1, sample_rate=3)
+    cdir = str(tmp_path / ".stack_cache")
+
+    first = pde_data.cached_opener(mk(), n_scalar=1, cache_dir=cdir)
+    assert isinstance(first, pde_data.StackedDiskCache)  # built + saved
+    import os
+    cache_files = os.listdir(cdir)
+    assert len(cache_files) == 1
+
+    # second call must come from disk: forbid the rebuild path entirely
+    def _no_rebuild(_):
+        raise AssertionError("cache miss: CachedOpener rebuilt")
+    monkeypatch.setattr(pde_data, "CachedOpener", _no_rebuild)
+    second = pde_data.cached_opener(mk(), n_scalar=1, cache_dir=cdir)
+    monkeypatch.undo()
+    assert isinstance(second, pde_data.StackedDiskCache)  # disk hit
+    np.testing.assert_array_equal(first.stacked_fields(),
+                                  second.stacked_fields())
+    assert second.stacked_fields().shape[1] == 5  # (16-1-1)//3+1 subsampled
+    for (u1, v1, c1), (u2, v2, c2) in zip(first, second):
+        np.testing.assert_array_equal(u1, u2)
+        np.testing.assert_array_equal(v1, v2)
+        assert c1 is None and c2 is None
+    assert second.n_trajectories() == 3
+
+    # different read parameters -> different cache entry, not a stale hit
+    other = pde_data.cached_opener(
+        pde_data.ShallowWaterOpener(files, "train", skip_nt=0,
+                                    sample_rate=1),
+        n_scalar=1, cache_dir=cdir)
+    assert other.stacked_fields().shape[1] == 16
+    assert len(os.listdir(cdir)) == 2
+
+    # touching a source file invalidates (rebuild, no wrong reuse)
+    p0 = tmp_path / "train_seed0.npz"
+    d = np.load(p0)
+    np.savez(p0, u=d["u"] * 2.0, v=d["v"])
+    rebuilt = pde_data.cached_opener(mk(), n_scalar=1, cache_dir=cdir)
+    np.testing.assert_allclose(rebuilt.stacked_fields()[0, :, :, :, 0],
+                               second.stacked_fields()[0, :, :, :, 0] * 2.0,
+                               rtol=1e-6)
+
+    # openers the stack can't represent fall back cleanly (no file list)
+    fallback = pde_data.cached_opener(iter([]), n_scalar=1, cache_dir=cdir)
+    assert isinstance(fallback, pde_data.CachedOpener)

@@ -68,6 +68,10 @@ class DataConfig:
     skip_nt: int = 0
     sample_rate: int = 1
     limit_trajectories: Optional[int] = None
+    # write each split's stacked array once to <data_path>/.stack_cache and
+    # bulk-load it afterwards (this host's disk serves many-small-file
+    # splits at ~20 MB/s; see data/pde.py cached_opener)
+    stacked_cache: bool = False
     n_synthetic: int = 8
     # windows drawn per trajectory per epoch; None = trajlen, the reference
     # datapipe's ``cycle(trajlen)`` semantics (datapipes/common.py:69-96).
@@ -165,6 +169,13 @@ def open_trajectories(cfg: DataConfig, mode: str):
     raise ValueError(cfg.task)
 
 
+def stack_cache_dir(cfg: DataConfig) -> Optional[str]:
+    """Directory for the on-disk stacked split cache (None = disabled)."""
+    if not cfg.stacked_cache:
+        return None
+    return os.path.join(cfg.data_path, ".stack_cache")
+
+
 def find_cur_stage(num_epochs_list: List[int], epoch: int) -> int:
     """``PDEModel.find_cur_stage`` (``pdemodel.py:182-192``)."""
     cum = np.cumsum(num_epochs_list).tolist()
@@ -229,8 +240,10 @@ def train(cfg: Config):
     train_opener = open_trajectories(cfg.data, "train")
     valid_opener = open_trajectories(cfg.data, "valid")
     if cfg.data.cache_in_memory:
-        train_opener = pde_data.CachedOpener(train_opener)
-        valid_opener = pde_data.CachedOpener(valid_opener)
+        cdir = stack_cache_dir(cfg.data)
+        ns = pde.n_scalar_components
+        train_opener = pde_data.cached_opener(train_opener, ns, cdir)
+        valid_opener = pde_data.cached_opener(valid_opener, ns, cdir)
     fields_dev = valid_fields_dev = None
     if cfg.data.device_cache and hasattr(train_opener, "stacked_fields"):
         stacked = train_opener.stacked_fields()
