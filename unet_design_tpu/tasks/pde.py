@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from functools import partial
 from typing import Iterator, List, Optional, Tuple
 
@@ -461,8 +462,13 @@ def train(cfg: Config):
                 idx_stream[:n_steps * bs].reshape(n_steps, bs), jnp.int32)
             sts = jnp.asarray(
                 starts[:n_steps * bs].reshape(n_steps, bs), jnp.int32)
+            t0 = time.monotonic()
             state, losses = epoch_fn(state, fields_dev, idxs, sts)
-            epoch_losses = np.asarray(losses)   # one fetch per epoch
+            epoch_losses = np.asarray(losses)   # one fetch per epoch (syncs)
+            dt = time.monotonic() - t0
+            metrics_logger.log({"train/epoch_seconds": dt,
+                                "train/steps_per_sec": n_steps / dt},
+                               step + n_steps)
             step += n_steps
         else:
             windows = pde_data.randomized_train_windows(
