@@ -180,6 +180,22 @@ class TestShallowWater:
                                               skip_nt=4, sample_rate=1))
         assert uf.shape == (88, 6, 12, 1)
 
+    def test_splits_disjoint_under_same_seed(self, tmp_path):
+        """Same base seed across modes must give different trajectories.
+
+        Guards the mode-fold in the generator RNG: without it, valid/test
+        regenerate the leading train trajectories (split leakage)."""
+        from unet_design_tpu.datagen import shallow_water as sw
+        out = {}
+        for mode in ("train", "valid", "test"):
+            sw.generate_trajectories_shallowwater(
+                self._pde(), mode, num_samples=1, batch_size=1,
+                dirname=str(tmp_path / mode), seed=7)
+            out[mode] = np.load(tmp_path / mode / f"{mode}_seed0.npz")["u"]
+        assert not np.allclose(out["train"], out["valid"])
+        assert not np.allclose(out["train"], out["test"])
+        assert not np.allclose(out["valid"], out["test"])
+
     def test_valid_mode_does_not_clobber_train_normstats(self, tmp_path):
         from unet_design_tpu.datagen import shallow_water as sw
         from unet_design_tpu.data.pde import ShallowWaterOpener

@@ -183,7 +183,11 @@ def generate_trajectories_maxwell(pde: Maxwell3D, mode: str,
 
     nt, n = pde.nt, pde.nx
     sim_batch = jax.jit(jax.vmap(lambda s: simulate_trajectory(s, pde)))
-    master = np.random.RandomState(seed)
+    # Fold the split into the stream: same seed across modes must not
+    # reproduce train trajectories in valid/test (split leakage).
+    master = np.random.RandomState(
+        (seed * 3 + {"train": 0, "valid": 1, "test": 2}[mode])
+        % np.iinfo(np.uint32).max)
     traj_seeds = master.randint(np.iinfo(np.int32).max, size=num_samples)
     with h5py.File(path, "a") as h5f:
         ds = h5f.create_group(mode)

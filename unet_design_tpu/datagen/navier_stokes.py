@@ -193,10 +193,14 @@ def generate_trajectories_smoke(pde: NavierStokes2D, mode: str,
         buod = ds.create_dataset("buo_y", (num_samples,), dtype=float)
 
         sim_batch = jax.jit(jax.vmap(lambda r: simulate_trajectory(r, pde)))
+        # Fold the split into the stream: same --seed across modes must not
+        # reproduce train trajectories in valid/test (split leakage).
+        base = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                  {"train": 0, "valid": 1, "test": 2}[mode])
         for start in range(0, num_samples, batch_size):
             b = min(batch_size, num_samples - start)
             rngs = jax.vmap(jax.random.fold_in, (None, 0))(
-                jax.random.PRNGKey(seed), jnp.arange(start, start + b))
+                base, jnp.arange(start, start + b))
             u, vx, vy = sim_batch(rngs)
             h5u[start:start + b] = np.asarray(u)
             h5vx[start:start + b] = np.asarray(vx)

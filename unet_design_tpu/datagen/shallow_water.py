@@ -149,15 +149,23 @@ def generate_trajectories_shallowwater(pde: ShallowWaterWeather, mode: str,
                                        dirname: str = "data",
                                        seed: int = 42):
     """Generate + save trajectories as ``{mode}_seed{idx}.npz`` files in the
-    ``ShallowWaterOpener`` npz schema, plus ``normstats.npz``."""
+    ``ShallowWaterOpener`` npz schema, plus ``normstats.npz``.
+
+    The RNG stream folds in ``mode`` so train/valid/test generated with the
+    same base ``seed`` are disjoint (the reference gets this for free from
+    per-split Julia runs; filename-only mode handling would silently leak
+    train trajectories into valid/test).
+    """
     os.makedirs(dirname, exist_ok=True)
     sim_batch = jax.jit(jax.vmap(lambda r: simulate_trajectory(r, pde)))
+    base = jax.random.fold_in(jax.random.PRNGKey(seed),
+                              {"train": 0, "valid": 1, "test": 2}[mode])
     paths = []
     vor_sum, vor_sq, count = 0.0, 0.0, 0
     for start in range(0, num_samples, batch_size):
         b = min(batch_size, num_samples - start)
         rngs = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.PRNGKey(seed), jnp.arange(start, start + b))
+            base, jnp.arange(start, start + b))
         vor, u, v = (np.asarray(x) for x in sim_batch(rngs))
         vor_sum += vor.sum()
         vor_sq += (vor.astype(np.float64) ** 2).sum()
