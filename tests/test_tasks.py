@@ -120,6 +120,49 @@ def test_pde_staged_end_to_end(tmp_path):
     assert state is not None
 
 
+def test_pde_device_validator_cache_reused():
+    """validate_device must reuse its jitted scans across calls: through the
+    tunneled TPU backend a scan re-compile costs ~90 s, and before the
+    _VALIDATOR_CACHE both scans were rebuilt every epoch (validation then
+    dominated protocol-scale epoch time ~15:1 over training)."""
+    import jax.numpy as jnp
+
+    cfg = pde.Config()
+    cfg.data.task = "synthetic"
+    cfg.data.resolution = 16
+    cfg.data.trajlen = 8
+    cfg.data.batch_size = 2
+    cfg.data.max_num_steps = 2
+    cfg.model.hidden_channels = 8
+    cfg.model.dwt_encoder = True
+    cfg.model.multi_res_loss = True
+    model = pde.build_model(cfg)
+    meta = pde.pde_config(cfg.data)
+    x_init = jnp.zeros((1, cfg.data.time_history, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x_init)["params"]
+    fields = jax.random.normal(jax.random.PRNGKey(1),
+                               (5, cfg.data.trajlen, 16, 16, 3))
+
+    pde._VALIDATOR_CACHE.clear()
+    r1 = pde.validate_device(cfg, model, params, {}, meta,
+                             model.n_levels, 0, fields)
+    assert len(pde._VALIDATOR_CACHE) == 1
+    fns = next(iter(pde._VALIDATOR_CACHE.values()))[1]
+    r2 = pde.validate_device(cfg, model, params, {}, meta,
+                             model.n_levels, 0, fields)
+    # same cache entry, same jitted callables (so jit's compile cache holds)
+    assert len(pde._VALIDATOR_CACHE) == 1
+    assert next(iter(pde._VALIDATOR_CACHE.values()))[1] is fns
+    assert set(r1) >= {"valid/loss/mse", "valid/loss/scaledl2",
+                       "valid/unrolled_loss_mean"}
+    for k in r1:
+        assert r1[k] == pytest.approx(r2[k], rel=1e-6), k
+    # a different stage (n_levels_used) is a distinct compiled program
+    pde.validate_device(cfg, model, params, {}, meta,
+                        model.n_levels - 1, 1, fields)
+    assert len(pde._VALIDATOR_CACHE) == 2
+
+
 @pytest.mark.slow
 def test_pde_plain_model(tmp_path):
     cfg = pde.Config()

@@ -136,8 +136,20 @@ def train(cfg: Config):
     return state
 
 
-def validate(cfg: Config, model, params, pde, use_z):
-    criterion = losses_lib.CRITERIA[cfg.train.criterion]
+#: jitted eval/rollout cache — same per-epoch recompile hazard as
+#: tasks/pde.py's _VALIDATOR_CACHE (a fresh @jax.jit per validate() call
+#: discards the compile cache; each re-compile costs ~90 s through the
+#: tunneled TPU backend).  Entries hold a strong model reference so the
+#: id() key stays valid.
+_VALIDATOR_CACHE: dict = {}
+
+
+def _cond_validators(model, criterion_name, max_num_steps):
+    key = (id(model), criterion_name, max_num_steps)
+    hit = _VALIDATOR_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    criterion = losses_lib.CRITERIA[criterion_name]
 
     @jax.jit
     def eval_fn(p, batch):
@@ -145,6 +157,20 @@ def validate(cfg: Config, model, params, pde, use_z):
         pred = model.apply({"params": p}, x, dt, z)
         return criterion(pred, y)
 
+    def rollout_fn(p, u, v, dt, z):
+        def model_fn(window, dt_, z_):
+            return model.apply({"params": p}, window, dt_, z_)
+        return rollout_lib.cond_rollout2d(model_fn, u, v, dt, z, 1,
+                                          max_num_steps)
+
+    fns = (eval_fn, jax.jit(rollout_fn))
+    _VALIDATOR_CACHE[key] = (model, fns)
+    return fns
+
+
+def validate(cfg: Config, model, params, pde, use_z):
+    eval_fn, _rollout_jit = _cond_validators(model, cfg.train.criterion,
+                                             cfg.train.max_num_steps)
     opener = open_trajectories(cfg.data, "valid")
     windows = pde_data.timestep_conditioned_eval_windows(
         opener, pde, cfg.train.eval_delta_t)
@@ -158,13 +184,6 @@ def validate(cfg: Config, model, params, pde, use_z):
     result = {"valid/onestep_loss": losses / max(count, 1)}
 
     # conditioned rollout with unit delta_t (cond_rollout2d)
-    def rollout_fn(p, u, v, dt, z):
-        def model_fn(window, dt_, z_):
-            return model.apply({"params": p}, window, dt_, z_)
-        return rollout_lib.cond_rollout2d(model_fn, u, v, dt, z, 1,
-                                          cfg.train.max_num_steps)
-
-    _rollout_jit = jax.jit(rollout_fn)
     rollout_jit = lambda u, v, dt, z: _rollout_jit(params, u, v, dt, z)
     unrolled = []
     opener = open_trajectories(cfg.data, "valid")

@@ -530,36 +530,32 @@ def train(cfg: Config):
     return state
 
 
-def validate_device(cfg: Config, model, params, model_state, pde,
-                    n_levels_used, n_downsample, fields_dev):
-    """Device-resident validation: identical statistics to :func:`validate`
-    but the eval set lives in HBM and both the one-step sweep and the
-    rollout sweep run as scanned device calls (per-batch dispatch through
-    the tunneled backend costs ~300 ms in round trips alone)."""
-    th, tf, tg = (cfg.data.time_history, cfg.data.time_future,
-                  cfg.data.time_gap)
-    g_model = is_g_model(cfg.model.name)
-    has_mstate = bool(model_state)
-    n_sc = pde.n_scalar_components
-    n_traj = fields_dev.shape[0]
-    bs = cfg.data.batch_size
-    nd = n_downsample
+#: jitted validator cache — keyed on the model instance plus every static
+#: that shapes the traced program.  Without this the two ``@jax.jit`` scans
+#: would be rebuilt (and their compile cache discarded) every epoch: through
+#: the tunneled backend each re-compile costs ~90 s, which dominated the
+#: epoch time of the protocol reproductions (~190 s valid vs ~13 s train).
+#: The cached entry holds a strong reference to the model so its ``id`` can
+#: never be reused while the entry is alive.
+_VALIDATOR_CACHE: dict = {}
+
+
+def _device_validators(model, n_levels_used, nd, th, tf, tg, g_model,
+                       has_mstate, multi_res_loss, n_sc, max_num_steps,
+                       starts_r):
+    key = (id(model), n_levels_used, nd, th, tf, tg, g_model, has_mstate,
+           multi_res_loss, n_sc, max_num_steps, starts_r)
+    hit = _VALIDATOR_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
 
     def apply_model(p, ms, x):
         if g_model:
             pred = model.apply({"params": p}, x, n_levels_used=n_levels_used)
-            return pred[-1] if cfg.model.multi_res_loss else pred
+            return pred[-1] if multi_res_loss else pred
         if has_mstate:
             return model.apply({"params": p, **ms}, x)
         return model.apply({"params": p}, x)
-
-    # ---- one-step sweep: same window stream as eval_timestep_windows +
-    # batched_windows (start-major, trajectory-minor, global tail dropped)
-    mst = pde_data.max_start_time(pde.trajlen, th, tf, tg)
-    starts_1 = list(range(0, mst + 1, tf + tg))
-    idx_stream = np.tile(np.arange(n_traj), len(starts_1))
-    start_stream = np.repeat(np.asarray(starts_1), n_traj)
-    n_b = idx_stream.size // bs
 
     @jax.jit
     def one_step_scan(p, ms, fields, idxs, sts):
@@ -574,19 +570,6 @@ def validate_device(cfg: Config, model, params, model_state, pde,
                            "scaledl2": losses_lib.scaledlp_loss(pred, y)}
         _, outs = jax.lax.scan(body, 0, (idxs, sts))
         return {k: jnp.mean(v) for k, v in outs.items()}
-
-    result = {}
-    if n_b:
-        outs = one_step_scan(
-            params, model_state, fields_dev,
-            jnp.asarray(idx_stream[:n_b * bs].reshape(n_b, bs), jnp.int32),
-            jnp.asarray(start_stream[:n_b * bs].reshape(n_b, bs), jnp.int32))
-        result = {f"valid/loss/{k}": float(v) for k, v in outs.items()}
-
-    # ---- rollout sweep: per-trajectory unrolled loss, whole batches per
-    # scan step, all rollout starts unrolled inside the jit
-    max_start = pde.trajlen - th - tf * cfg.data.max_num_steps - tg
-    starts_r = list(range(0, max_start + 1, tf + tg))
 
     @jax.jit
     def rollout_scan(p, ms, fields, idxs):
@@ -604,9 +587,9 @@ def validate_device(cfg: Config, model, params, model_state, pde,
                 init_u = u[:, start:start + th]
                 init_v = v[:, start:start + th] if v is not None else None
                 pred = rollout_lib.rollout2d(model_fn, init_u, init_v, th,
-                                             cfg.data.max_num_steps)
+                                             max_num_steps)
                 t0 = start + th + tg
-                t1 = t0 + tf * cfg.data.max_num_steps
+                t1 = t0 + tf * max_num_steps
                 ls.append(eval_metrics.rollout_mse_per_sample_step(
                     pred, f[:, t0:t1]))
             per_sample = jnp.sum(jnp.mean(jnp.stack(ls), axis=0), axis=-1)
@@ -614,6 +597,51 @@ def validate_device(cfg: Config, model, params, model_state, pde,
         _, out = jax.lax.scan(body, 0, idxs)
         return out.reshape(-1)
 
+    fns = (one_step_scan, rollout_scan)
+    _VALIDATOR_CACHE[key] = (model, fns)
+    return fns
+
+
+def validate_device(cfg: Config, model, params, model_state, pde,
+                    n_levels_used, n_downsample, fields_dev):
+    """Device-resident validation: identical statistics to :func:`validate`
+    but the eval set lives in HBM and both the one-step sweep and the
+    rollout sweep run as scanned device calls (per-batch dispatch through
+    the tunneled backend costs ~300 ms in round trips alone).  The jitted
+    scans are cached across epochs via :data:`_VALIDATOR_CACHE` — one
+    compile per stage, not per epoch."""
+    th, tf, tg = (cfg.data.time_history, cfg.data.time_future,
+                  cfg.data.time_gap)
+    g_model = is_g_model(cfg.model.name)
+    has_mstate = bool(model_state)
+    n_sc = pde.n_scalar_components
+    n_traj = fields_dev.shape[0]
+    bs = cfg.data.batch_size
+
+    max_start = pde.trajlen - th - tf * cfg.data.max_num_steps - tg
+    starts_r = tuple(range(0, max_start + 1, tf + tg))
+    one_step_scan, rollout_scan = _device_validators(
+        model, n_levels_used, n_downsample, th, tf, tg, g_model, has_mstate,
+        cfg.model.multi_res_loss, n_sc, cfg.data.max_num_steps, starts_r)
+
+    # ---- one-step sweep: same window stream as eval_timestep_windows +
+    # batched_windows (start-major, trajectory-minor, global tail dropped)
+    mst = pde_data.max_start_time(pde.trajlen, th, tf, tg)
+    starts_1 = list(range(0, mst + 1, tf + tg))
+    idx_stream = np.tile(np.arange(n_traj), len(starts_1))
+    start_stream = np.repeat(np.asarray(starts_1), n_traj)
+    n_b = idx_stream.size // bs
+
+    result = {}
+    if n_b:
+        outs = one_step_scan(
+            params, model_state, fields_dev,
+            jnp.asarray(idx_stream[:n_b * bs].reshape(n_b, bs), jnp.int32),
+            jnp.asarray(start_stream[:n_b * bs].reshape(n_b, bs), jnp.int32))
+        result = {f"valid/loss/{k}": float(v) for k, v in outs.items()}
+
+    # ---- rollout sweep: per-trajectory unrolled loss, whole batches per
+    # scan step, all rollout starts unrolled inside the jit
     unrolled = []
     if starts_r:
         n_full = n_traj // bs
@@ -632,6 +660,32 @@ def validate_device(cfg: Config, model, params, model_state, pde,
         result["valid/unrolled_loss_mean"] = mean
         result["valid/unrolled_loss_std"] = std
     return result
+
+
+def _host_rollout_fn(model, n_levels_used, g_model, multi_res_loss, th,
+                     max_num_steps):
+    """Cached jitted rollout for the host-streaming :func:`validate` path
+    (same per-epoch recompile hazard as :func:`_device_validators`).
+    Params enter the jit as arguments: closure constants bloat the compile
+    payload past remote-compile limits for >100M-param models."""
+    key = ("host_rollout", id(model), n_levels_used, g_model,
+           multi_res_loss, th, max_num_steps)
+    hit = _VALIDATOR_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+
+    def rollout_fn(p, ms, u, v):
+        def model_fn(window):
+            if g_model:
+                pred = model.apply({"params": p}, window,
+                                   n_levels_used=n_levels_used)
+                return pred[-1] if multi_res_loss else pred
+            return model.apply({"params": p, **ms}, window)
+        return rollout_lib.rollout2d(model_fn, u, v, th, max_num_steps)
+
+    fn = jax.jit(rollout_fn)
+    _VALIDATOR_CACHE[key] = (model, fn)
+    return fn
 
 
 def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
@@ -655,20 +709,9 @@ def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
 
     # rollout
     g_model = is_g_model(cfg.model.name)
-
-    # params enter the jit as arguments (closure constants bloat the
-    # compile payload past remote-compile limits for >100M-param models)
-    def rollout_fn(p, ms, u, v):
-        def model_fn(window):
-            if g_model:
-                pred = model.apply({"params": p}, window,
-                                   n_levels_used=n_levels_used)
-                return pred[-1] if cfg.model.multi_res_loss else pred
-            return model.apply({"params": p, **ms}, window)
-        return rollout_lib.rollout2d(model_fn, u, v, th,
-                                     cfg.data.max_num_steps)
-
-    _rollout_jit = jax.jit(rollout_fn)
+    _rollout_jit = _host_rollout_fn(model, n_levels_used, g_model,
+                                    cfg.model.multi_res_loss, th,
+                                    cfg.data.max_num_steps)
     rollout_jit = lambda u, v: _rollout_jit(params, model_state, u, v)
 
     unrolled = []
