@@ -122,11 +122,26 @@ def build_model(cfg: Config) -> MultiResUNet:
         dtype=jnp.bfloat16 if mc.use_bf16 else jnp.float32)
 
 
+#: jitted sampler cache — a fresh @jax.jit per make_sampler call discards
+#: the compile cache (one scan re-compile costs ~90 s through the tunneled
+#: TPU backend; repeated evaluate() calls, e.g. the FID milestone curve,
+#: would otherwise pay it every time).  Entries keep the model alive so the
+#: id() key stays valid.
+_SAMPLER_CACHE: dict = {}
+
+
 def make_sampler(cfg: Config, model: MultiResUNet, sch: diffusion.DDPMSchedule,
                  n_levels_used: int):
-    """One jitted full-scan ancestral sampler for a given level count."""
+    """One jitted full-scan ancestral sampler for a given level count
+    (cached across calls per model + sampler configuration)."""
 
     kind = cfg.diffusion.sampler
+    key = (id(model), n_levels_used, kind, cfg.diffusion.sample_steps,
+           cfg.diffusion.mean_type, cfg.diffusion.var_type,
+           cfg.model.multi_res_loss, id(sch))
+    hit = _SAMPLER_CACHE.get(key)
+    if hit is not None and hit[0] is model and hit[1] is sch:
+        return hit[2]
 
     @jax.jit
     def sampler(params, rng, x_T):
@@ -149,6 +164,7 @@ def make_sampler(cfg: Config, model: MultiResUNet, sch: diffusion.DDPMSchedule,
             var_type=cfg.diffusion.var_type,
             multi_res_loss=cfg.model.multi_res_loss)
 
+    _SAMPLER_CACHE[key] = (model, sch, sampler)
     return sampler
 
 
