@@ -54,6 +54,45 @@ def test_tensor_parallel_params_sharding():
     assert out["conv"]["bias"].sharding.spec == P()
 
 
+def test_spatial_mesh_shapes():
+    m = mesh_lib.make_mesh(model=1, spatial=4)
+    assert m.shape["data"] == 2 and m.shape["spatial"] == 4
+    # default spatial=1 keeps the two-axis mesh (backward compat)
+    assert "spatial" not in mesh_lib.make_mesh(data=4, model=2).shape
+
+
+def test_spatial_partitioning_matches_single_device():
+    """Grid-partitioned forward and grads must equal the unsharded ones:
+    XLA GSPMD inserts the conv halo exchanges and norm all-reduces when the
+    H dim is sharded over the 'spatial' axis."""
+    from unet_design_tpu.models import registry
+
+    m = mesh_lib.make_mesh(data=2, model=1, spatial=4)
+    model = registry.build_model("Unetbase-64", 1, 1, 2, 1, "gelu",
+                                 hidden_channels=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    y_ref = model.apply({"params": params}, x)
+
+    xs = mesh_lib.spatial_shard_batch(x, m)
+    assert xs.sharding.spec == P("data", None, "spatial", None, None)
+    pr = mesh_lib.replicate(params, m)
+    fwd = jax.jit(lambda p, xx: model.apply({"params": p}, xx))
+    y_sh = fwd(pr, xs)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_sh),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(p, xx):
+        return jnp.mean(model.apply({"params": p}, xx) ** 2)
+
+    g_ref = jax.grad(loss)(params, x)
+    g_sh = jax.jit(jax.grad(loss))(pr, xs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        g_ref, g_sh)
+
+
 @pytest.mark.parametrize("n", [8])
 def test_dryrun_multichip(n):
     import __graft_entry__

@@ -34,15 +34,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                                    process_id)
 
 
-def make_mesh(data: Optional[int] = None, model: int = 1,
+def make_mesh(data: Optional[int] = None, model: int = 1, spatial: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh.  ``data`` defaults to all devices / model."""
+    """Build a (data, model[, spatial]) mesh.
+
+    ``data`` defaults to all devices / (model * spatial).  ``spatial`` > 1
+    adds a third axis for grid partitioning (:func:`spatial_shard_batch`);
+    with the default ``spatial=1`` the mesh stays two-axis so existing
+    (data, model) callers are unaffected.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devices) // model
-    assert data * model == len(devices), (data, model, len(devices))
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, ("data", "model"))
+        data = len(devices) // (model * spatial)
+    assert data * model * spatial == len(devices), (data, model, spatial,
+                                                    len(devices))
+    if spatial == 1:
+        return Mesh(np.asarray(devices).reshape(data, model),
+                    ("data", "model"))
+    return Mesh(np.asarray(devices).reshape(data, model, spatial),
+                ("data", "model", "spatial"))
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
@@ -55,6 +65,32 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def spatial_shard_batch(batch: Any, mesh: Mesh, h_axis: int = -3) -> Any:
+    """Shard batch over 'data' AND the spatial height dim over 'spatial'.
+
+    Grid partitioning for PDE-scale inputs — the structured-grid analog of
+    sequence parallelism: each device holds a horizontal slab of the field
+    and XLA GSPMD inserts the conv halo exchanges (and the norm/pool
+    all-reduces) over ICI automatically.  ``h_axis=-3`` matches both NHWC
+    images and (B, T, H, W, C) trajectories.  Requires a mesh built with
+    ``make_mesh(spatial=...)``; the H extent must divide by the axis size
+    (slabs must be equal for XLA's halo-exchange partitioning).
+    """
+    n_sp = mesh.shape.get("spatial", 1)
+
+    def put(x):
+        ha = x.ndim + h_axis if h_axis < 0 else h_axis
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        if n_sp > 1 and 0 < ha < x.ndim:
+            assert x.shape[ha] % n_sp == 0, (
+                f"spatial dim {x.shape[ha]} must divide the 'spatial' mesh "
+                f"axis ({n_sp})")
+            spec[ha] = "spatial"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
