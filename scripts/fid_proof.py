@@ -108,8 +108,12 @@ def main(argv=None):
     init_params = model.init(rng, jnp.zeros((2, 32, 32, 3)),
                              jnp.zeros((2,), jnp.int32))["params"]
     proof_path = os.path.join(args.logdir, "fid_proof.json")
+    # Reuse previous-run artifacts only when continuing the SAME run
+    # (eval-only or resume); a fresh run in a reused logdir must not inherit
+    # another model/config's numbers.
+    continuing = args.eval_only or args.resume
     before = None
-    if args.eval_only and os.path.exists(proof_path):
+    if continuing and os.path.exists(proof_path):
         with open(proof_path) as f:
             prev = json.load(f)
         if prev.get("fid_untrained") is not None:
@@ -125,12 +129,29 @@ def main(argv=None):
         print("FID before training:", json.dumps(before), flush=True)
 
     curve = {}
-    if os.path.exists(proof_path):  # extend an existing curve across runs
+    if continuing and os.path.exists(proof_path):
+        # extend an existing curve across runs
         with open(proof_path) as f:
             prev = json.load(f)
         curve.update(prev.get("fid_curve", {}))
         if prev.get("train_steps") and prev.get("fid_trained") is not None:
             curve.setdefault(str(prev["train_steps"]), prev["fid_trained"])
+
+    def write_artifact(after, total_steps):
+        out = {"fid_untrained": before.get("FID"),
+               "fid_trained": after.get("FID"),
+               "is_untrained": before.get("IS"),
+               "is_trained": after.get("IS"),
+               "train_steps": total_steps, "n_images": args.images,
+               "fid_curve": {k: curve[k] for k in sorted(curve, key=int)},
+               "note": ("random seeded Inception weights (no egress for the "
+                        "pt_inception .pth); architecture parity-proven, "
+                        "absolute FID not comparable to published numbers")}
+        out["fid_decreased"] = bool(after.get("FID", 1e9)
+                                    < before.get("FID", 0.0))
+        with open(proof_path, "w") as f:
+            json.dump(out, f, indent=1)
+        return out
     if args.eval_only:
         from unet_design_tpu.train.checkpoint import CheckpointManager
         src = CheckpointManager(os.path.join(args.logdir, "ckpt"))
@@ -147,34 +168,52 @@ def main(argv=None):
         curve[str(src.latest_step())] = after.get("FID")
         total_steps = src.latest_step()
     else:
+        from unet_design_tpu.train.checkpoint import CheckpointManager
+        import jax.tree_util as jtu
+        ckpt = CheckpointManager(os.path.join(args.logdir, "ckpt"))
         cfg.train.resume = args.resume
+        after = before
         for m in milestones:
-            cfg.train.num_iterations_list = [m]
-            state = diff_cifar.train(cfg)
-            cfg.train.resume = True   # later milestones continue the run
-            after = diff_cifar.evaluate(cfg, model, state.ema_params, sch,
-                                        jax.random.PRNGKey(7),
-                                        n_levels_used=model.n_levels,
-                                        resolution=32,
-                                        num_images=args.images,
-                                        batch_size=args.eval_batch)
+            latest = (ckpt.latest_step() or 0) if cfg.train.resume else 0
+            if latest > m:
+                # train() cannot rewind a checkpoint past the milestone;
+                # never record a later step's FID under this milestone.
+                if str(m) in curve:
+                    print(f"milestone {m}: already recorded (checkpoint at "
+                          f"{latest}), skipping", flush=True)
+                    continue
+                try:  # a kept step-m checkpoint can still be scored exactly
+                    raw = ckpt.restore_raw(m)
+                except Exception:
+                    print(f"milestone {m}: checkpoint already at {latest} "
+                          f"and no step-{m} checkpoint kept; skipping "
+                          f"(not recorded)", flush=True)
+                    continue
+                ema = jtu.tree_map(lambda _, v: jnp.asarray(v), init_params,
+                                   raw["ema_params"])
+                after = diff_cifar.evaluate(cfg, model, ema, sch,
+                                            jax.random.PRNGKey(7),
+                                            n_levels_used=model.n_levels,
+                                            resolution=32,
+                                            num_images=args.images,
+                                            batch_size=args.eval_batch)
+            else:
+                cfg.train.num_iterations_list = [m]
+                state = diff_cifar.train(cfg)
+                cfg.train.resume = True  # later milestones continue the run
+                after = diff_cifar.evaluate(cfg, model, state.ema_params, sch,
+                                            jax.random.PRNGKey(7),
+                                            n_levels_used=model.n_levels,
+                                            resolution=32,
+                                            num_images=args.images,
+                                            batch_size=args.eval_batch)
             curve[str(m)] = after.get("FID")
             print(f"FID at {m} steps:", json.dumps(after), flush=True)
+            write_artifact(after, m)  # crash-safe: persist each point
         total_steps = milestones[-1]
     print("FID after training:", json.dumps(after), flush=True)
 
-    out = {"fid_untrained": before.get("FID"),
-           "fid_trained": after.get("FID"),
-           "is_untrained": before.get("IS"), "is_trained": after.get("IS"),
-           "train_steps": total_steps, "n_images": args.images,
-           "fid_curve": {k: curve[k] for k in sorted(curve, key=int)},
-           "note": ("random seeded Inception weights (no egress for the "
-                    "pt_inception .pth); architecture parity-proven, "
-                    "absolute FID not comparable to published numbers")}
-    out["fid_decreased"] = bool(after.get("FID", 1e9)
-                                < before.get("FID", 0.0))
-    with open(os.path.join(args.logdir, "fid_proof.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    out = write_artifact(after, total_steps)
     print(json.dumps(out, indent=1))
 
 

@@ -241,3 +241,67 @@ def test_stacked_disk_cache_roundtrip(tmp_path, monkeypatch):
     # openers the stack can't represent fall back cleanly (no file list)
     fallback = pde_data.cached_opener(iter([]), n_scalar=1, cache_dir=cdir)
     assert isinstance(fallback, pde_data.CachedOpener)
+
+
+def test_stacked_disk_cache_normstats_invalidation(tmp_path):
+    """The cache key must fingerprint normstats.npz: the ShallowWaterOpener
+    normalizes at read time, and regenerating the train split rewrites
+    normstats without touching the valid/test files' mtimes — a key on the
+    data files alone would keep serving fields normalized with the old
+    (or missing) stats."""
+    import numpy as np
+    from unet_design_tpu.data import pde as pde_data
+
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        np.savez(tmp_path / f"valid_seed{i}.npz",
+                 u=rng.normal(size=(6, 8, 8, 1)).astype(np.float32),
+                 v=rng.normal(size=(6, 8, 8, 2)).astype(np.float32))
+    files = pde_data.ShallowWaterOpener.list_files(str(tmp_path), "valid")
+    mk = lambda: pde_data.ShallowWaterOpener(files, "valid")
+    cdir = str(tmp_path / ".stack_cache")
+
+    raw = pde_data.cached_opener(mk(), n_scalar=1, cache_dir=cdir)
+
+    # normstats appears after the cache was built (e.g. train datagen ran
+    # later): the cache must rebuild, not hit
+    np.savez(tmp_path / "normstats.npz",
+             vor_mean=np.float32(0.5), vor_std=np.float32(2.0))
+    normed = pde_data.cached_opener(mk(), n_scalar=1, cache_dir=cdir)
+    np.testing.assert_allclose(
+        normed.stacked_fields()[..., :1],
+        (raw.stacked_fields()[..., :1] - 0.5) / 2.0, rtol=1e-6)
+
+    # normstats rewritten with different values: rebuild again
+    np.savez(tmp_path / "normstats.npz",
+             vor_mean=np.float32(0.0), vor_std=np.float32(4.0))
+    renormed = pde_data.cached_opener(mk(), n_scalar=1, cache_dir=cdir)
+    np.testing.assert_allclose(
+        renormed.stacked_fields()[..., :1],
+        raw.stacked_fields()[..., :1] / 4.0, rtol=1e-6)
+
+
+def test_jit_cache_cached_build():
+    """cached_build: identity-keyed hits, static-keyed misses, and no stale
+    hit after an anchor is replaced by a new object."""
+    from unet_design_tpu.utils.jit_cache import cached_build
+
+    cache = {}
+    builds = []
+
+    class Anchor:
+        pass
+
+    a, b = Anchor(), Anchor()
+    mk = lambda tag: (lambda: builds.append(tag) or tag)
+    v1 = cached_build(cache, (a,), (1, "x"), mk("a1"))
+    v2 = cached_build(cache, (a,), (1, "x"), mk("dup"))
+    assert v1 == v2 == "a1" and builds == ["a1"]        # hit, no rebuild
+    v3 = cached_build(cache, (a,), (2, "x"), mk("a2"))
+    assert v3 == "a2"                                    # statics miss
+    v4 = cached_build(cache, (b,), (1, "x"), mk("b1"))
+    assert v4 == "b1"                                    # anchor miss
+    # multi-anchor: every anchor must match by identity
+    v5 = cached_build(cache, (a, b), (3,), mk("ab"))
+    assert cached_build(cache, (a, b), (3,), mk("dup2")) == "ab"
+    assert v5 == "ab" and builds == ["a1", "a2", "b1", "ab"]

@@ -351,7 +351,12 @@ class CachedOpener:
 
 def opener_cache_key(opener) -> Optional[str]:
     """Fingerprint an opener's source files + read parameters for the
-    on-disk stack cache; None when the opener exposes no file list."""
+    on-disk stack cache; None when the opener exposes no file list.
+
+    Includes any ``normstats.npz`` the opener would consult at read time
+    (ShallowWaterOpener normalizes by it): regenerating the train split
+    rewrites normstats without touching valid/test file mtimes, and a stale
+    cache would silently serve fields normalized with the old stats."""
     paths = getattr(opener, "paths", None)
     if not paths:
         return None
@@ -361,6 +366,20 @@ def opener_cache_key(opener) -> Optional[str]:
         st = os.stat(p)
         h.update(f"{os.path.basename(p)}:{st.st_size}:"
                  f"{st.st_mtime_ns};".encode())
+    norm_dirs = []
+    for p in paths:  # .npz: sibling normstats; .zarr: parent-dir normstats
+        d = os.path.dirname(os.path.abspath(p))
+        for nd in (d, os.path.dirname(d)):
+            if nd not in norm_dirs:
+                norm_dirs.append(nd)
+    for nd in norm_dirs:
+        np_path = os.path.join(nd, "normstats.npz")
+        if os.path.exists(np_path):
+            st = os.stat(np_path)
+            h.update(f"norm:{np_path}:{st.st_size}:"
+                     f"{st.st_mtime_ns};".encode())
+        else:
+            h.update(f"norm:{np_path}:missing;".encode())
     h.update(f"|limit={getattr(opener, 'limit', None)}"
              f"|skip={getattr(opener, 'skip_nt', 0)}"
              f"|rate={getattr(opener, 'sample_rate', 1)}"
@@ -436,8 +455,8 @@ def cached_opener(opener, n_scalar: Optional[int] = None,
         return cached
     fields = cached.stacked_fields()
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    tmp = f"{path}.{os.getpid()}.tmp"  # unique: concurrent writers must not
+    with open(tmp, "wb") as f:         # truncate each other's partial file
         np.savez(f, fields=fields, key=np.array(key),
                  n_scalar=np.array(n_scalar))
     os.replace(tmp, path)

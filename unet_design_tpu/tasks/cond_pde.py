@@ -24,6 +24,7 @@ from unet_design_tpu.process import losses as losses_lib
 from unet_design_tpu.process import rollout as rollout_lib
 from unet_design_tpu.train import trainer, freezing
 from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils import jit_cache
 from unet_design_tpu.utils.config import parse_cli
 from unet_design_tpu.utils.logging import MetricsLogger, get_logger
 from unet_design_tpu.tasks.pde import DataConfig, open_trajectories, pde_config
@@ -145,27 +146,25 @@ _VALIDATOR_CACHE: dict = {}
 
 
 def _cond_validators(model, criterion_name, max_num_steps):
-    key = (id(model), criterion_name, max_num_steps)
-    hit = _VALIDATOR_CACHE.get(key)
-    if hit is not None and hit[0] is model:
-        return hit[1]
-    criterion = losses_lib.CRITERIA[criterion_name]
+    def build():
+        criterion = losses_lib.CRITERIA[criterion_name]
 
-    @jax.jit
-    def eval_fn(p, batch):
-        x, y, dt, z = batch
-        pred = model.apply({"params": p}, x, dt, z)
-        return criterion(pred, y)
+        @jax.jit
+        def eval_fn(p, batch):
+            x, y, dt, z = batch
+            pred = model.apply({"params": p}, x, dt, z)
+            return criterion(pred, y)
 
-    def rollout_fn(p, u, v, dt, z):
-        def model_fn(window, dt_, z_):
-            return model.apply({"params": p}, window, dt_, z_)
-        return rollout_lib.cond_rollout2d(model_fn, u, v, dt, z, 1,
-                                          max_num_steps)
+        def rollout_fn(p, u, v, dt, z):
+            def model_fn(window, dt_, z_):
+                return model.apply({"params": p}, window, dt_, z_)
+            return rollout_lib.cond_rollout2d(model_fn, u, v, dt, z, 1,
+                                              max_num_steps)
 
-    fns = (eval_fn, jax.jit(rollout_fn))
-    _VALIDATOR_CACHE[key] = (model, fns)
-    return fns
+        return eval_fn, jax.jit(rollout_fn)
+
+    return jit_cache.cached_build(_VALIDATOR_CACHE, (model,),
+                                  (criterion_name, max_num_steps), build)
 
 
 def validate(cfg: Config, model, params, pde, use_z):

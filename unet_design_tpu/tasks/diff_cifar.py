@@ -27,6 +27,7 @@ from unet_design_tpu.ops import wavelet
 from unet_design_tpu.process import diffusion
 from unet_design_tpu.train import freezing, schedules, trainer
 from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils import jit_cache
 from unet_design_tpu.utils import config as config_lib
 from unet_design_tpu.utils.config import parse_cli
 from unet_design_tpu.utils.logging import MetricsLogger, get_logger
@@ -136,36 +137,35 @@ def make_sampler(cfg: Config, model: MultiResUNet, sch: diffusion.DDPMSchedule,
     (cached across calls per model + sampler configuration)."""
 
     kind = cfg.diffusion.sampler
-    key = (id(model), n_levels_used, kind, cfg.diffusion.sample_steps,
-           cfg.diffusion.mean_type, cfg.diffusion.var_type,
-           cfg.model.multi_res_loss, id(sch))
-    hit = _SAMPLER_CACHE.get(key)
-    if hit is not None and hit[0] is model and hit[1] is sch:
-        return hit[2]
 
-    @jax.jit
-    def sampler(params, rng, x_T):
-        def model_fn(x, t, n):
-            return model.apply({"params": params}, x, t, n_levels_used=n)
-        if kind == "ddim":
-            return diffusion.ddim_sample(
+    def build():
+        @jax.jit
+        def sampler(params, rng, x_T):
+            def model_fn(x, t, n):
+                return model.apply({"params": params}, x, t, n_levels_used=n)
+            if kind == "ddim":
+                return diffusion.ddim_sample(
+                    model_fn, sch, rng, x_T, n_levels_used,
+                    n_steps=cfg.diffusion.sample_steps,
+                    multi_res_loss=cfg.model.multi_res_loss)
+            if kind == "dpm_solver":
+                return diffusion.dpm_solver_sample(
+                    model_fn, sch, x_T, n_levels_used,
+                    n_steps=cfg.diffusion.sample_steps,
+                    multi_res_loss=cfg.model.multi_res_loss)
+            assert kind == "ddpm", kind
+            return diffusion.ddpm_sample(
                 model_fn, sch, rng, x_T, n_levels_used,
-                n_steps=cfg.diffusion.sample_steps,
+                mean_type=cfg.diffusion.mean_type,
+                var_type=cfg.diffusion.var_type,
                 multi_res_loss=cfg.model.multi_res_loss)
-        if kind == "dpm_solver":
-            return diffusion.dpm_solver_sample(
-                model_fn, sch, x_T, n_levels_used,
-                n_steps=cfg.diffusion.sample_steps,
-                multi_res_loss=cfg.model.multi_res_loss)
-        assert kind == "ddpm", kind
-        return diffusion.ddpm_sample(
-            model_fn, sch, rng, x_T, n_levels_used,
-            mean_type=cfg.diffusion.mean_type,
-            var_type=cfg.diffusion.var_type,
-            multi_res_loss=cfg.model.multi_res_loss)
+        return sampler
 
-    _SAMPLER_CACHE[key] = (model, sch, sampler)
-    return sampler
+    return jit_cache.cached_build(
+        _SAMPLER_CACHE, (model, sch),
+        (n_levels_used, kind, cfg.diffusion.sample_steps,
+         cfg.diffusion.mean_type, cfg.diffusion.var_type,
+         cfg.model.multi_res_loss), build)
 
 
 def check_config(cfg: Config) -> None:

@@ -30,6 +30,7 @@ from unet_design_tpu.process import rollout as rollout_lib
 from unet_design_tpu.ops import wavelet
 from unet_design_tpu.train import freezing, schedules, trainer
 from unet_design_tpu.train.checkpoint import CheckpointManager
+from unet_design_tpu.utils import jit_cache
 from unet_design_tpu.utils.config import parse_cli
 from unet_design_tpu.utils.logging import MetricsLogger, get_logger
 
@@ -543,12 +544,19 @@ _VALIDATOR_CACHE: dict = {}
 def _device_validators(model, n_levels_used, nd, th, tf, tg, g_model,
                        has_mstate, multi_res_loss, n_sc, max_num_steps,
                        starts_r):
-    key = (id(model), n_levels_used, nd, th, tf, tg, g_model, has_mstate,
-           multi_res_loss, n_sc, max_num_steps, starts_r)
-    hit = _VALIDATOR_CACHE.get(key)
-    if hit is not None and hit[0] is model:
-        return hit[1]
+    statics = (n_levels_used, nd, th, tf, tg, g_model, has_mstate,
+               multi_res_loss, n_sc, max_num_steps, starts_r)
+    return jit_cache.cached_build(
+        _VALIDATOR_CACHE, (model,), statics,
+        lambda: _build_device_validators(model, n_levels_used, nd, th, tf,
+                                         tg, g_model, has_mstate,
+                                         multi_res_loss, n_sc, max_num_steps,
+                                         starts_r))
 
+
+def _build_device_validators(model, n_levels_used, nd, th, tf, tg, g_model,
+                             has_mstate, multi_res_loss, n_sc, max_num_steps,
+                             starts_r):
     def apply_model(p, ms, x):
         if g_model:
             pred = model.apply({"params": p}, x, n_levels_used=n_levels_used)
@@ -597,9 +605,7 @@ def _device_validators(model, n_levels_used, nd, th, tf, tg, g_model,
         _, out = jax.lax.scan(body, 0, idxs)
         return out.reshape(-1)
 
-    fns = (one_step_scan, rollout_scan)
-    _VALIDATOR_CACHE[key] = (model, fns)
-    return fns
+    return one_step_scan, rollout_scan
 
 
 def validate_device(cfg: Config, model, params, model_state, pde,
@@ -668,24 +674,21 @@ def _host_rollout_fn(model, n_levels_used, g_model, multi_res_loss, th,
     (same per-epoch recompile hazard as :func:`_device_validators`).
     Params enter the jit as arguments: closure constants bloat the compile
     payload past remote-compile limits for >100M-param models."""
-    key = ("host_rollout", id(model), n_levels_used, g_model,
-           multi_res_loss, th, max_num_steps)
-    hit = _VALIDATOR_CACHE.get(key)
-    if hit is not None and hit[0] is model:
-        return hit[1]
+    def build():
+        def rollout_fn(p, ms, u, v):
+            def model_fn(window):
+                if g_model:
+                    pred = model.apply({"params": p}, window,
+                                       n_levels_used=n_levels_used)
+                    return pred[-1] if multi_res_loss else pred
+                return model.apply({"params": p, **ms}, window)
+            return rollout_lib.rollout2d(model_fn, u, v, th, max_num_steps)
+        return jax.jit(rollout_fn)
 
-    def rollout_fn(p, ms, u, v):
-        def model_fn(window):
-            if g_model:
-                pred = model.apply({"params": p}, window,
-                                   n_levels_used=n_levels_used)
-                return pred[-1] if multi_res_loss else pred
-            return model.apply({"params": p, **ms}, window)
-        return rollout_lib.rollout2d(model_fn, u, v, th, max_num_steps)
-
-    fn = jax.jit(rollout_fn)
-    _VALIDATOR_CACHE[key] = (model, fn)
-    return fn
+    return jit_cache.cached_build(
+        _VALIDATOR_CACHE, (model,),
+        ("host_rollout", n_levels_used, g_model, multi_res_loss, th,
+         max_num_steps), build)
 
 
 def validate(cfg: Config, model, params, model_state, pde, n_levels_used,
