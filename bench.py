@@ -17,9 +17,12 @@ a scalar fetch (see ``unet_design_tpu/utils/benchtime.py``) because
 from __future__ import annotations
 
 import json
+import os
+import sys
+import time
 
 
-def main() -> None:
+def _measure() -> float:
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +39,25 @@ def main() -> None:
     def fwd(x, v):  # params as argument: keeps the compile payload small
         return model.apply(v, x)
 
-    elapsed = benchtime.measure(fwd, (x, variables), n_iters=20)
+    return benchtime.measure(fwd, (x, variables), n_iters=20)
+
+
+def main() -> None:
+    # The chip may be mid-recovery from a crashed/killed job when the driver
+    # runs this (worker restart takes ~10-20 min).  An UNAVAILABLE error
+    # poisons the process-wide backend client (see CLAUDE.md), so retrying
+    # must re-exec a FRESH process, not loop in this one.
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    try:
+        elapsed = _measure()
+    except Exception as e:  # jaxlib runtime errors don't share one type
+        if attempt >= 3 or "UNAVAILABLE" not in str(e):
+            raise
+        print(f"# transient backend error (attempt {attempt + 1}), "
+              f"re-exec in 5 min: {str(e)[:120]}", flush=True)
+        time.sleep(300)
+        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
     baseline_s = 0.021  # V100-16GB, pdearena/docs/modelzoo.md:44
     print(json.dumps({

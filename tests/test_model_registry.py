@@ -67,3 +67,31 @@ def test_unet2015_batchnorm_mutable():
     out, updates = model.apply(variables, x, train=True,
                                mutable=["batch_stats"])
     assert out.shape == (2, 1, 32, 32, 3)
+
+
+def test_unetbase_g_remat_is_math_identical():
+    """remat=True must change only the backward-pass schedule: outputs AND
+    gradients are bit-comparable to remat=False (same param tree)."""
+    import jax.numpy as jnp
+
+    x = jax.random.normal(RNG, (1, 2, 32, 32, 3))
+    kw = dict(hidden_channels=8, dwt_encoder=True, n_extra_resnet_layers=2,
+              multi_res_loss=True, sequ_mode=True)
+    base = registry.build_model("Unetbase-64_G", 1, 1, 2, 1, **kw)
+    rem = registry.build_model("Unetbase-64_G", 1, 1, 2, 1, remat=True, **kw)
+    variables = base.init(RNG, x)
+    assert jax.tree_util.tree_structure(
+        rem.init(RNG, x)) == jax.tree_util.tree_structure(variables)
+
+    def loss(m):
+        def f(v):
+            outs = m.apply(v, x)
+            return sum(jnp.mean(o ** 2) for o in outs)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(base))(variables)
+    l1, g1 = jax.value_and_grad(loss(rem))(variables)
+    assert jnp.allclose(l0, l1, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g0, g1)

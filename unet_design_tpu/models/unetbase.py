@@ -103,6 +103,12 @@ class UnetbaseGCore(nn.Module):
     no_down_up: bool = False
     sigmoid_out: bool = False
     num_groups: int = 1
+    # Rematerialize each conv block in the backward pass (jax.checkpoint):
+    # trades ~30% recompute for dropping intra-block activations — the same
+    # knob the reference exposes as use_checkpoint on its DDPM U-Net
+    # (torch_ddpm/ddpm/models/unet/layers.py:120-165); pdearena never had
+    # one.  Math-identical to remat=False.
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     n_levels: int = 4
@@ -115,6 +121,10 @@ class UnetbaseGCore(nn.Module):
         c = self.hidden_channels
         kw = dict(num_groups=self.num_groups, activation=self.activation,
                   dtype=self.dtype)
+        partial_block = (nn.remat(blocks.PartialResnetConvBlock)
+                         if self.remat else blocks.PartialResnetConvBlock)
+        full_block = (nn.remat(blocks.FullResnetConvBlock)
+                      if self.remat else blocks.FullResnetConvBlock)
         down_in = [c * 2 ** j for j in range(self.n_levels)]           # c,2c,4c,8c
         down_out = [c * 2 ** (j + 1) for j in range(self.n_levels)]    # 2c..16c
         up_in = down_out[::-1]                                         # 16c..2c
@@ -124,7 +134,7 @@ class UnetbaseGCore(nn.Module):
 
         def head(j):
             if j not in heads:
-                heads[j] = blocks.PartialResnetConvBlock(
+                heads[j] = partial_block(
                     down_in[j], **kw, name=f"image_proj_{j}")
             return heads[j]
 
@@ -156,8 +166,7 @@ class UnetbaseGCore(nn.Module):
             else:
                 if not self.no_down_up:
                     h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-                h = blocks.PartialResnetConvBlock(down_out[i], **kw,
-                                                  name=f"down_{i}")(h)
+                h = partial_block(down_out[i], **kw, name=f"down_{i}")(h)
             if i != self.n_levels - 1:
                 skips.append(h)
 
@@ -183,11 +192,9 @@ class UnetbaseGCore(nn.Module):
             if self.no_skip_connection:
                 s = jnp.zeros_like(s)
             h = jnp.concatenate([s, up], axis=-1)
-            h = blocks.PartialResnetConvBlock(up_out[j], **kw,
-                                              name=f"up_{j}")(h)
+            h = partial_block(up_out[j], **kw, name=f"up_{j}")(h)
             for r in range(self.n_extra_resnet_layers):
-                h = blocks.FullResnetConvBlock(up_out[j], **kw,
-                                               name=f"up_{j}_extra_{r}")(h)
+                h = full_block(up_out[j], **kw, name=f"up_{j}_extra_{r}")(h)
             if self.multi_res_loss:
                 outs.append(tail(j, h))
         if self.multi_res_loss:
@@ -209,6 +216,7 @@ class UnetbaseG(nn.Module):
     sequ_mode: bool = False
     no_skip_connection: bool = False
     no_down_up: bool = False
+    remat: bool = False
     time_future: int = 1
     dtype: Dtype = jnp.float32
 
@@ -228,6 +236,7 @@ class UnetbaseG(nn.Module):
             sequ_mode=self.sequ_mode,
             no_skip_connection=self.no_skip_connection,
             no_down_up=self.no_down_up,
+            remat=self.remat,
             dtype=self.dtype,
             name="core")(x4, n_levels_used=n_levels_used)
         if self.multi_res_loss:
@@ -248,6 +257,7 @@ class WMHSegUnet(nn.Module):
     sequ_mode: bool = False
     no_skip_connection: bool = False
     no_down_up: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     n_levels: int = 4
@@ -265,6 +275,7 @@ class WMHSegUnet(nn.Module):
             sequ_mode=self.sequ_mode,
             no_skip_connection=self.no_skip_connection,
             no_down_up=self.no_down_up,
+            remat=self.remat,
             sigmoid_out=True,
             dtype=self.dtype,
             name="core")(x, n_levels_used=n_levels_used)

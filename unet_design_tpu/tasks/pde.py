@@ -48,6 +48,11 @@ class ModelConfig:
     multi_res_loss: bool = False
     no_skip_connection: bool = False
     no_down_up: bool = False
+    # jax.checkpoint per conv block (Unetbase-64_G only): drops intra-block
+    # activations in backward; math-identical, ~30% recompute.  Needed for
+    # the biggest arm (dwt + 3 extra decoder layers) next to a >7 GB
+    # HBM-staged dataset.
+    remat: bool = False
     use_bf16: bool = False
 
 
@@ -144,7 +149,7 @@ def build_model(cfg: Config):
                          multi_res_loss=mc.multi_res_loss,
                          sequ_mode=True,
                          no_skip_connection=mc.no_skip_connection,
-                         no_down_up=mc.no_down_up)
+                         no_down_up=mc.no_down_up, remat=mc.remat)
     return registry.build_model(
         mc.name, cfg.data.n_scalar_components, cfg.data.n_vector_components,
         cfg.data.time_history, cfg.data.time_future, mc.activation,
