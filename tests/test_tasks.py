@@ -227,3 +227,34 @@ def test_pde_shallowwater_nonsquare_end_to_end(tmp_path):
     cfg.train.logdir = str(tmp_path / "sw_run")
     state = pde.train(cfg)
     assert state is not None
+
+
+def test_pde_max_scan_steps_chunking_is_identical(tmp_path):
+    """Splitting the whole-epoch scan into shorter device calls
+    (train.max_scan_steps) must leave the trained parameters bit-identical:
+    same step stream, same per-epoch RNG, just more calls."""
+    import jax
+    import numpy as np
+
+    def run(logdir, max_scan_steps):
+        cfg = pde.Config()
+        cfg.data.task = "synthetic"
+        cfg.data.resolution = 32
+        cfg.data.trajlen = 10
+        cfg.data.n_synthetic = 4
+        cfg.data.batch_size = 2
+        cfg.data.max_num_steps = 2
+        cfg.model.hidden_channels = 8
+        cfg.train.num_epochs_list = [2]
+        cfg.train.max_scan_steps = max_scan_steps
+        cfg.train.logdir = str(tmp_path / logdir)
+        return pde.train(cfg)
+
+    whole = run("whole", 0)
+    # trajlen 10, th 4, tf 1 -> cycles=10, 4 trajs -> 40 windows -> 20 steps;
+    # chunk=7 exercises equal chunks plus a ragged tail (20 = 7+7+6)
+    chunked = run("chunked", 7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        whole.params, chunked.params)

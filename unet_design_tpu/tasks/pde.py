@@ -124,6 +124,13 @@ class TrainConfig:
     # the training step runs inside lax.scan, and pallas-in-scan hangs
     # tunneled (axon) backends — enable on directly-attached TPUs only.
     use_pallas_haar: bool = False
+    # Upper bound on the steps covered by ONE scanned device call (0 = the
+    # whole epoch).  The tunneled axon backend kills executions that run too
+    # long ("TPU worker process crashed"): the dwt+3-extra-decoder-layers
+    # arm's ~4550-step epoch at 1/2-scale NS-2D reproducibly died while the
+    # cheaper arms' shorter calls passed.  Chunking is math-identical — the
+    # same step stream, split across several scans.
+    max_scan_steps: int = 0
     logdir: str = "runs/pde"
 
 
@@ -469,8 +476,22 @@ def train(cfg: Config):
             sts = jnp.asarray(
                 starts[:n_steps * bs].reshape(n_steps, bs), jnp.int32)
             t0 = time.monotonic()
-            state, losses = epoch_fn(state, fields_dev, idxs, sts)
-            epoch_losses = np.asarray(losses)   # one fetch per epoch (syncs)
+            mss = cfg.train.max_scan_steps
+            if mss and n_steps > mss:
+                # several shorter device calls over the same step stream
+                # (equal-size chunks so one compiled program serves all but
+                # the tail); see TrainConfig.max_scan_steps
+                losses = []
+                for lo in range(0, n_steps, mss):
+                    state, chunk = epoch_fn(state, fields_dev,
+                                            idxs[lo:lo + mss],
+                                            sts[lo:lo + mss])
+                    losses.append(chunk)
+                epoch_losses = np.concatenate(
+                    [np.asarray(c) for c in losses])
+            else:
+                state, losses = epoch_fn(state, fields_dev, idxs, sts)
+                epoch_losses = np.asarray(losses)  # one fetch/epoch (syncs)
             dt = time.monotonic() - t0
             metrics_logger.log({"train/epoch_seconds": dt,
                                 "train/steps_per_sec": n_steps / dt},

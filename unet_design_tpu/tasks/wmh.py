@@ -43,6 +43,7 @@ class ModelConfig:
     multi_res_loss: bool = False
     no_skip_connection: bool = False
     no_down_up: bool = False
+    remat: bool = False      # jax.checkpoint per conv block (math-identical)
     use_bf16: bool = False
 
 
@@ -112,7 +113,7 @@ def train(cfg: Config):
         multi_res_loss=cfg.model.multi_res_loss,
         sequ_mode=len(cfg.train.num_epochs_list) > 1,
         no_skip_connection=cfg.model.no_skip_connection,
-        no_down_up=cfg.model.no_down_up,
+        no_down_up=cfg.model.no_down_up, remat=cfg.model.remat,
         dtype=jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
     n_levels = model.n_levels
     sequ = len(cfg.train.num_epochs_list) > 1
