@@ -258,3 +258,34 @@ def test_pde_max_scan_steps_chunking_is_identical(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         whole.params, chunked.params)
+
+
+def test_pde_shuffle_trajectory_order(tmp_path):
+    """The per-epoch permutation must change the batch stream but keep the
+    run end-to-end trainable and deterministic per seed."""
+    import numpy as np
+
+    def run(logdir, shuffle):
+        cfg = pde.Config()
+        cfg.data.task = "synthetic"
+        cfg.data.resolution = 32
+        cfg.data.trajlen = 10
+        cfg.data.n_synthetic = 4
+        cfg.data.batch_size = 2
+        cfg.data.max_num_steps = 2
+        cfg.model.hidden_channels = 8
+        cfg.train.num_epochs_list = [1]
+        cfg.train.shuffle_trajectory_order = shuffle
+        cfg.train.logdir = str(tmp_path / logdir)
+        return pde.train(cfg)
+
+    a = run("shuf_a", True)
+    b = run("shuf_b", True)    # same seed -> same permutation stream
+    c = run("noshuf", False)
+    ja = jax.tree_util.tree_leaves(a.params)
+    jb = jax.tree_util.tree_leaves(b.params)
+    jc = jax.tree_util.tree_leaves(c.params)
+    for x, y in zip(ja, jb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(ja, jc))

@@ -131,6 +131,12 @@ class TrainConfig:
     # cheaper arms' shorter calls passed.  Chunking is math-identical — the
     # same step stream, split across several scans.
     max_scan_steps: int = 0
+    # Permute the trajectory order per epoch in the HBM-staged stream (the
+    # reference shuffles trajectory files each epoch: datapipes/common.py
+    # shuffle->shard->open).  Off by default so runs keep bit-comparability
+    # with the published table-1 arms, which trained with fixed order +
+    # random window starts; flip on for new experiments.
+    shuffle_trajectory_order: bool = False
     logdir: str = "runs/pde"
 
 
@@ -468,6 +474,8 @@ def train(cfg: Config):
             ep_rng = np.random.default_rng(cfg.train.seed + epoch)
             mst = pde_data.max_start_time(pde.trajlen, th, tf, tg)
             idx_stream = np.tile(np.arange(fields_dev.shape[0]), cycles)
+            if cfg.train.shuffle_trajectory_order:
+                idx_stream = ep_rng.permutation(idx_stream)
             starts = ep_rng.integers(0, mst + 1, size=idx_stream.size)
             bs = cfg.data.batch_size
             n_steps = idx_stream.size // bs
