@@ -42,6 +42,12 @@ def main(argv=None):
                    help="re-score an existing run's checkpoint (no training)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the logdir's latest checkpoint")
+    p.add_argument("--rescore", action="store_true",
+                   help="no training: re-score the kept --milestones "
+                        "checkpoints at the current --images count, writing "
+                        "fid_proof_rescore_<images>.json (the main artifact "
+                        "is left untouched — different sample counts are "
+                        "not comparable points on one curve)")
     p.add_argument("--milestones", default=None,
                    help="comma-separated cumulative step counts; train to "
                         "each in turn (resuming in between) and score FID "
@@ -83,7 +89,7 @@ def main(argv=None):
     else:
         data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
     need_stats = True
-    if args.eval_only and os.path.exists(stats_path):
+    if (args.eval_only or args.rescore) and os.path.exists(stats_path):
         try:  # reuse only same-feature-space stats
             FIDEvaluator(stats_cache=stats_path)
             need_stats = False
@@ -111,7 +117,7 @@ def main(argv=None):
     # Reuse previous-run artifacts only when continuing the SAME run
     # (eval-only or resume); a fresh run in a reused logdir must not inherit
     # another model/config's numbers.
-    continuing = args.eval_only or args.resume
+    continuing = args.eval_only or args.resume or args.rescore
     before = None
     if continuing and os.path.exists(proof_path):
         with open(proof_path) as f:
@@ -152,6 +158,41 @@ def main(argv=None):
         with open(proof_path, "w") as f:
             json.dump(out, f, indent=1)
         return out
+    if args.rescore:
+        assert args.milestones, "--rescore needs explicit --milestones"
+        from unet_design_tpu.train.checkpoint import CheckpointManager
+        import jax.tree_util as jtu
+        src = CheckpointManager(os.path.join(args.logdir, "ckpt"))
+        out_path = os.path.join(args.logdir,
+                                f"fid_proof_rescore_{args.images}.json")
+        rcurve = {}
+        for m in milestones:
+            try:
+                raw = src.restore_raw(m)
+            except Exception:
+                print(f"rescore: no step-{m} checkpoint kept; skipping",
+                      flush=True)
+                continue
+            ema = jtu.tree_map(lambda _, v: jnp.asarray(v), init_params,
+                               raw["ema_params"])
+            r = diff_cifar.evaluate(cfg, model, ema, sch,
+                                    jax.random.PRNGKey(7),
+                                    n_levels_used=model.n_levels,
+                                    resolution=32, num_images=args.images,
+                                    batch_size=args.eval_batch)
+            rcurve[str(m)] = r.get("FID")
+            print(f"rescore FID at {m} steps:", json.dumps(r), flush=True)
+            with open(out_path, "w") as f:   # crash-safe per point
+                json.dump({"n_images": args.images,
+                           "fid_untrained": before.get("FID"),
+                           "fid_curve": rcurve,
+                           "note": "random-feature FID at a larger sample "
+                                   "count; variance check on the main "
+                                   "curve's tail"}, f, indent=1)
+        print(json.dumps({"fid_curve": rcurve, "n_images": args.images},
+                         indent=1))
+        return
+
     if args.eval_only:
         from unet_design_tpu.train.checkpoint import CheckpointManager
         src = CheckpointManager(os.path.join(args.logdir, "ckpt"))

@@ -172,3 +172,24 @@ def test_milestone_points_persist_before_crash(monkeypatch, tmp_path):
     out = _read(logdir)                          # partial artifact exists
     assert out["fid_curve"] == {"10": 990.0}
     assert out["train_steps"] == 10
+
+
+def test_rescore_scores_kept_checkpoints_only(monkeypatch, tmp_path):
+    world = _World(ckpt=20, kept={10, 20})
+    logdir = _install(monkeypatch, world, tmp_path)
+    os.makedirs(logdir)
+    with open(os.path.join(logdir, "fid_proof.json"), "w") as f:
+        json.dump({"fid_untrained": 1000.0, "is_untrained": 1.0,
+                   "fid_trained": 980.0, "train_steps": 20,
+                   "fid_curve": {"10": 990.0, "20": 980.0}}, f)
+    fid_proof.main(["--rescore", "--milestones", "5,10,20",
+                    "--images", "4096", "--logdir", logdir])
+    with open(os.path.join(logdir, "fid_proof_rescore_4096.json")) as f:
+        out = json.load(f)
+    # 5 has no kept checkpoint -> absent; the others scored exactly
+    assert out["fid_curve"] == {"10": 990.0, "20": 980.0}
+    assert out["n_images"] == 4096
+    assert world.evaluate_calls == [10.0, 20.0]   # no training, no untrained
+    # the main artifact is untouched
+    main = _read(logdir)
+    assert main["train_steps"] == 20 and main["fid_curve"]["20"] == 980.0
