@@ -28,7 +28,10 @@ TUNE="data.device_cache_max_bytes=7200000000 train.max_scan_steps=910"
 
 probe() {
   for i in $(seq 1 40); do
-    if timeout 180 python /tmp/tpu_probe_t1.py > /dev/null 2>&1; then return 0; fi
+    # 350s: a cold python + axon-client init through the tunnel can take
+    # ~3 min on the 1-core host even when the TPU is healthy (observed
+    # 2026-08-19); 180s flapped on a working tunnel.
+    if timeout 350 python /tmp/tpu_probe_t1.py > /dev/null 2>&1; then return 0; fi
     echo "probe failed ($i), retrying in 60s" >&2; sleep 60
   done
   return 1
