@@ -172,9 +172,13 @@ def generate_trajectories_smoke(pde: NavierStokes2D, mode: str,
     if mode == "train":
         save_name += "_" + str(num_samples)
     path = save_name + ".h5"
+    # Write-then-rename: drivers treat "file exists" as "datagen done"
+    # (scripts/run_table1_ns2d.sh), so a crash mid-write must never leave a
+    # partial file under the final name.
+    tmp_path = save_name + ".h5.tmp"
 
     nt, nx, ny = pde.trajlen, pde.nx, pde.ny
-    with h5py.File(path, "a") as h5f:
+    with h5py.File(tmp_path, "w") as h5f:
         ds = h5f.create_group(mode)
         # float32 fields: the solver runs f32 and training casts to f32, so
         # f64 storage would only double IO (grid/time coords stay f64).
@@ -202,6 +206,8 @@ def generate_trajectories_smoke(pde: NavierStokes2D, mode: str,
             rngs = jax.vmap(jax.random.fold_in, (None, 0))(
                 base, jnp.arange(start, start + b))
             u, vx, vy = sim_batch(rngs)
+            print(f"[datagen ns2d {mode}] {start + b}/{num_samples}",
+                  flush=True)
             h5u[start:start + b] = np.asarray(u)
             h5vx[start:start + b] = np.asarray(vx)
             h5vy[start:start + b] = np.asarray(vy)
@@ -212,6 +218,7 @@ def generate_trajectories_smoke(pde: NavierStokes2D, mode: str,
             yco[start:start + b] = np.linspace(0, pde.Ly, ny)
             dyd[start:start + b] = pde.Ly / ny
             buod[start:start + b] = buo
+    os.replace(tmp_path, path)
     return path
 
 
