@@ -1,0 +1,63 @@
+"""Collect the rebuttal-table FNO-vs-U-Net comparison (NS-2D leg).
+
+The reference's rebuttal table (``/root/reference/README.md:219-227``) trains
+FNO-128-8m on the Table-1 Navier-Stokes data (30 epochs, AdamW 2e-4, wd 1e-5,
+warmup 5 / cosine 30) and compares against the three Table-1 U-Net encoder
+arms (50-epoch recipe).  This script merges the already-collected U-Net arms
+(``docs/table1_ns2d.json``) with the FNO run's ``test_metrics.json`` into one
+markdown + JSON artifact.
+
+  python scripts/rebuttal_summary.py --fno-run runs/table1q_fno \
+      [--unet-json docs/table1_ns2d.json] [--out docs/table1_rebuttal.md]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--fno-run", default="runs/table1q_fno")
+    p.add_argument("--unet-json", default="docs/table1_ns2d.json")
+    p.add_argument("--out", default="docs/table1_rebuttal.md")
+    p.add_argument("--json-out", default="docs/table1_rebuttal.json")
+    args = p.parse_args(argv)
+
+    with open(args.unet_json) as f:
+        merged = json.load(f)
+    with open(os.path.join(args.fno_run, "test_metrics.json")) as f:
+        merged["FNO-128-8m (30 epochs)"] = json.load(f)
+
+    lines = [
+        "# Rebuttal table reproduction — FNO vs U-Net (Navier-Stokes 2D)",
+        "",
+        "FNO-128-8m trained with the reference rebuttal recipe "
+        "(30 epochs, AdamW 2e-4, wd 1e-5, warmup 5 / cosine 30, bs 8, "
+        "time_history 4, seed 1; `/root/reference/README.md:219-221`) on the "
+        "SAME self-generated 1/4-scale NS-2D dataset as the Table-1 U-Net "
+        "arms (`docs/table1_ns2d.md`; U-Net rows reproduced below for "
+        "comparison).  Metrics on the held-out test split from the "
+        "best-validation checkpoint.",
+        "",
+        "| Model | one-step MSE | one-step ScaledL2 | rollout ScaledL2 "
+        "(mean +/- std) |",
+        "|---|---|---|---|",
+    ]
+    for label, m in merged.items():
+        lines.append(
+            f"| {label} | {m['test/loss/mse']:.3e} "
+            f"| {m['test/loss/scaledl2']:.4f} "
+            f"| {m['test/unrolled_loss_mean']:.4f} +/- "
+            f"{m['test/unrolled_loss_std']:.4f} |")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(args.json_out, "w") as f:
+        json.dump(merged, f, indent=1)
+    print("\n".join(lines))
+    print(f"wrote {args.out} and {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()
