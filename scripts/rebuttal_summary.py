@@ -23,11 +23,23 @@ def main(argv=None):
     p.add_argument("--unet-json", default="docs/table1_ns2d.json")
     p.add_argument("--out", default="docs/table1_rebuttal.md")
     p.add_argument("--json-out", default="docs/table1_rebuttal.json")
+    p.add_argument("--detail",
+                   default="the SAME self-generated 1/4-scale NS-2D dataset "
+                           "as the Table-1 U-Net arms (`docs/table1_ns2d.md`",
+                   help="dataset/protocol description embedded in the table "
+                        "note (change when pointing --unet-json/--fno-run at "
+                        "a different scale's artifacts)")
     args = p.parse_args(argv)
 
+    fno_path = os.path.join(args.fno_run, "test_metrics.json")
+    if not os.path.exists(fno_path):
+        raise SystemExit(
+            f"missing {fno_path}: the FNO leg has not produced test metrics "
+            "yet (run scripts/run_rebuttal_fno_ns2d.sh, or point --fno-run "
+            "at the finished run dir)")
     with open(args.unet_json) as f:
         merged = json.load(f)
-    with open(os.path.join(args.fno_run, "test_metrics.json")) as f:
+    with open(fno_path) as f:
         merged["FNO-128-8m (30 epochs)"] = json.load(f)
 
     lines = [
@@ -35,9 +47,8 @@ def main(argv=None):
         "",
         "FNO-128-8m trained with the reference rebuttal recipe "
         "(30 epochs, AdamW 2e-4, wd 1e-5, warmup 5 / cosine 30, bs 8, "
-        "time_history 4, seed 1; `/root/reference/README.md:219-221`) on the "
-        "SAME self-generated 1/4-scale NS-2D dataset as the Table-1 U-Net "
-        "arms (`docs/table1_ns2d.md`; U-Net rows reproduced below for "
+        "time_history 4, seed 1; `/root/reference/README.md:219-221`) on "
+        f"{args.detail}; U-Net rows reproduced below for "
         "comparison).  Metrics on the held-out test split from the "
         "best-validation checkpoint.",
         "",

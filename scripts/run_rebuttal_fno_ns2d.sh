@@ -7,8 +7,10 @@
 # Usage: bash scripts/run_rebuttal_fno_ns2d.sh [DATA_DIR] [LOGDIR]
 set -u
 cd "$(dirname "$0")/.."
-D=${1:-datasets/ns2d_table1_half}
-LOG=${2:-runs/table1h_fno}
+# Defaults match the executed quarter-scale artifact (runs/table1q_fno on
+# the Table-1 dataset) and scripts/rebuttal_summary.py's --fno-run default.
+D=${1:-datasets/ns2d_table1}
+LOG=${2:-runs/table1q_fno}
 CFG=configs/pde_ns2d_table1.yaml
 # model.hidden_channels must be pinned: the task forwards the config value
 # as a registry override, and the table1 base config carries the U-Net's 64

@@ -46,7 +46,7 @@ mkdir -p "$D"
 for mode in train valid test; do
   n=$NTRAIN; [ $mode != train ] && n=$NEVAL
   # datagen is idempotent per (mode, seed, count): skip if the file exists
-  ls "$D" | grep -q "ns2d_${mode}_" && continue
+  ls "$D" | grep -q "ns2d_${mode}_.*\.h5$" && continue
   probe || exit 1
   python scripts/generate_data.py navierstokes2d --mode $mode --samples $n \
       --nt 56 --sample-rate 4 --dirname "$D" --seed 42 || exit 1

@@ -175,7 +175,13 @@ def generate_trajectories_smoke(pde: NavierStokes2D, mode: str,
     # Write-then-rename: drivers treat "file exists" as "datagen done"
     # (scripts/run_table1_ns2d.sh), so a crash mid-write must never leave a
     # partial file under the final name.
-    tmp_path = save_name + ".h5.tmp"
+    # Dot-prefixed temp name: driver gates like ``ls $D | grep ns2d_train_``
+    # (scripts/run_table1_ns2d.sh) must never match a crash leftover, and
+    # ``ls`` hides dotfiles.  Clean any stale leftover from a prior crash.
+    tmp_path = os.path.join(os.path.dirname(path),
+                            ".tmp_" + os.path.basename(path))
+    if os.path.exists(tmp_path):
+        os.remove(tmp_path)
 
     nt, nx, ny = pde.trajlen, pde.nx, pde.ny
     with h5py.File(tmp_path, "w") as h5f:

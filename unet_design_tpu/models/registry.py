@@ -162,6 +162,35 @@ def build_cond_model(name: str, n_scalar_components: int,
     return spec["cls"](**kwargs)
 
 
+def _build_from_class_path(name: str, n_scalar_components: int,
+                           n_vector_components: int, time_history: int,
+                           time_future: int, activation: str, **overrides):
+    """Custom-model fallback — ``pdemodel.py:56-66`` instantiates an
+    arbitrary user ``class_path`` (with a warning) when the name is not in
+    the registry (tested by ``pdearena/tests/test_custom_model.py:8-40``).
+    Here the dotted name itself is the class path; the task-injected
+    arguments are still provided and ``overrides`` carries the remaining
+    init args.
+    """
+    import importlib
+    import logging
+
+    module_name, _, cls_name = name.rpartition(".")
+    try:
+        cls = getattr(importlib.import_module(module_name), cls_name)
+    except (ImportError, AttributeError) as e:
+        raise KeyError(f"Model {name!r} not in registry and not importable "
+                       f"as a class path: {e}") from e
+    logging.getLogger(__name__).warning(
+        "Model %r not found in registry. Using class-path fallback. "
+        "Best to add your model to the registry.", name)
+    n_fields = n_scalar_components + 2 * n_vector_components
+    kwargs = dict(n_output_fields=n_fields, time_future=time_future,
+                  activation=activation)
+    kwargs.update(overrides)
+    return cls(**kwargs)
+
+
 def build_model(name: str,
                 n_scalar_components: int,
                 n_vector_components: int,
@@ -179,7 +208,13 @@ def build_model(name: str,
     """
     registry = registry if registry is not None else MODEL_REGISTRY
     if name not in registry:
-        raise KeyError(f"Model {name!r} not in registry")
+        if "." in name:
+            return _build_from_class_path(
+                name, n_scalar_components, n_vector_components, time_history,
+                time_future, activation, **overrides)
+        raise KeyError(
+            f"Model {name!r} not in registry (pass a dotted "
+            "'module.path.Class' name for the custom-model fallback)")
     spec = registry[name]
     kwargs = dict(spec["init_args"])
     n_fields = n_scalar_components + 2 * n_vector_components
