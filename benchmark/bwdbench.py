@@ -49,6 +49,9 @@ def main(argv=None):
                    help="one subprocess per model (a backend failure cannot "
                         "poison the rest of the sweep)")
     p.add_argument("--one", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--skip-existing", action="store_true",
+                   help="merge into the existing output and skip models "
+                        "that already have a non-error entry (resumable)")
     args = p.parse_args(argv)
 
     if args.one:
@@ -60,7 +63,8 @@ def main(argv=None):
     from unet_design_tpu.models import registry
     names = (args.models.split(",") if args.models
              else sorted(registry.MODEL_REGISTRY))
-    sweep(names, bench_model, args.out, args.isolate, __file__, args.repeats)
+    sweep(names, bench_model, args.out, args.isolate, __file__, args.repeats,
+          skip_existing=args.skip_existing)
 
 
 if __name__ == "__main__":

@@ -42,10 +42,21 @@ def run_isolated(script_path: str, name: str, repeats: int) -> dict:
 
 
 def sweep(names, bench_one, out_path: str, isolate: bool, script_path: str,
-          repeats: int) -> dict:
-    """Run the sweep, printing progress and writing JSON incrementally."""
+          repeats: int, skip_existing: bool = False) -> dict:
+    """Run the sweep, printing progress and writing JSON incrementally.
+
+    ``skip_existing`` merges into an existing output file and skips models
+    that already have a non-error entry — the sweep becomes resumable across
+    interrupted runs (tunnel outages, round boundaries).
+    """
     results = {}
+    if skip_existing and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
     for name in names:
+        if skip_existing and "error" not in results.get(name, {"error": 1}):
+            print(name, "cached", flush=True)
+            continue
         try:
             if isolate:
                 results[name] = run_isolated(script_path, name, repeats)

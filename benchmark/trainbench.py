@@ -110,28 +110,49 @@ def bench_train_step(name: str, use_bf16: bool, n_iters: int = 20,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--models", default="Unetbase-64_G,FNO-128-8m")
+    p.add_argument("--models", default="Unetbase-64_G,FNO-128-8m",
+                   help="comma list, or 'all' for the full registry")
     p.add_argument("--out", default="docs/models_train_step.json")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtypes", default="fp32,bf16",
+                   help="which precisions to measure (fp32,bf16)")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip model/dtype keys that already have a "
+                        "non-error entry in --out (resumable sweep)")
     args = p.parse_args(argv)
 
+    if args.models == "all":
+        from unet_design_tpu.models import registry
+        names = sorted(registry.MODEL_REGISTRY)
+    else:
+        names = args.models.split(",")
+    prior = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+
     results = {}
-    for name in args.models.split(","):
-        for use_bf16 in (False, True):
+    for name in names:
+        for use_bf16 in [d == "bf16" for d in args.dtypes.split(",")]:
             key = f"{name}/{'bf16' if use_bf16 else 'fp32'}"
+            if args.skip_existing and "error" not in prior.get(
+                    key, {"error": 1}):
+                print(key, "cached", flush=True)
+                continue
             try:
                 results[key] = bench_train_step(name, use_bf16, args.iters)
                 print(key, json.dumps(results[key]), flush=True)
             except Exception as e:  # keep the sweep alive
                 results[key] = {"error": repr(e)[:300]}
                 print(key, "ERROR", repr(e)[:200], flush=True)
-    existing = {}
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            existing = json.load(f)
-    existing.update(results)
-    with open(args.out, "w") as f:
-        json.dump(existing, f, indent=1, sort_keys=True)
+            # incremental write: an interrupted sweep keeps its progress
+            existing = {}
+            if os.path.exists(args.out):
+                with open(args.out) as f:
+                    existing = json.load(f)
+            existing.update(results)
+            with open(args.out, "w") as f:
+                json.dump(existing, f, indent=1, sort_keys=True)
     print("wrote", args.out)
 
 

@@ -1,0 +1,124 @@
+"""Seed-replicated Table-1 summary: mean +/- std across training seeds.
+
+The reference paper reports seed-averaged tables (``/root/reference/README.md:149``
+runs the same three-arm protocol per seed); round 2 reproduced each arm once.
+This merges the per-seed ``test_metrics.json`` files written by
+``scripts/eval_pde.py`` (plus, optionally, a committed single-seed baseline
+JSON like ``docs/table1_ns2d.json`` whose runs/ dirs no longer exist) and
+emits a per-arm mean +/- sample-std table.
+
+Usage:
+  python scripts/table1_seed_summary.py \
+      --arms "classical encoder=runs/t1s2_classical,runs/t1s3_classical" \
+             "DWT encoder (Multi-ResNet)=runs/t1s2_dwt,runs/t1s3_dwt" \
+      --base-json docs/table1_ns2d.json --base-label seed1 \
+      --out docs/table1_ns2d_seeds.md --json-out docs/table1_ns2d_seeds.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+KEYS = [("test/loss/mse", "one-step MSE"),
+        ("test/loss/scaledl2", "one-step ScaledL2"),
+        ("test/unrolled_loss_mean", "rollout ScaledL2")]
+
+
+def load_metrics(run: str):
+    path = os.path.join(run, "test_metrics.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--arms", nargs="+", required=True,
+                   help="'<label>=<run_dir>[,<run_dir>...]' per arm")
+    p.add_argument("--base-json", default=None,
+                   help="committed single-seed baseline (arm label -> "
+                        "metrics dict) merged in as one more seed per arm")
+    p.add_argument("--base-label", default="baseline")
+    p.add_argument("--title", default="NS-2D encoder ablation, "
+                                      "seed-replicated")
+    p.add_argument("--detail", default="1/4-scale fixed protocol "
+                   "(1300/325/325 trajectories), 50-epoch recipe; "
+                   "mean +/- sample std across training seeds")
+    p.add_argument("--out", default="docs/table1_ns2d_seeds.md")
+    p.add_argument("--json-out", default="docs/table1_ns2d_seeds.json")
+    args = p.parse_args(argv)
+
+    base = {}
+    if args.base_json and os.path.exists(args.base_json):
+        with open(args.base_json) as f:
+            base = json.load(f)
+
+    merged = {}
+    rows = []
+    for spec in args.arms:
+        label, _, runs = spec.partition("=")
+        per_seed = []
+        sources = []
+        if label in base:
+            per_seed.append(base[label])
+            sources.append(f"{args.base_json}:{args.base_label}")
+        for run in filter(None, runs.split(",")):
+            m = load_metrics(run)
+            if m is None:
+                print(f"[skip] {label}: no test_metrics.json in {run}")
+                continue
+            per_seed.append(m)
+            sources.append(run)
+        if not per_seed:
+            print(f"[skip] {label}: no completed seeds")
+            continue
+        stats = {}
+        for key, _name in KEYS:
+            vals = np.asarray([m[key] for m in per_seed if key in m],
+                              dtype=np.float64)
+            if not vals.size:
+                continue
+            stats[key] = {"mean": float(vals.mean()),
+                          "std": float(vals.std(ddof=1)) if vals.size > 1
+                          else 0.0,
+                          "n_seeds": int(vals.size),
+                          "per_seed": vals.tolist()}
+        merged[label] = {"sources": sources, **stats}
+        rows.append((label, stats, len(per_seed)))
+
+    lines = [f"# {args.title}", "", args.detail, ""]
+    header = "| Arm | seeds | " + " | ".join(n for _, n in KEYS) + " |"
+    lines += [header,
+              "|---|---|" + "---|" * len(KEYS)]
+    for label, stats, n in rows:
+        cells = []
+        for key, _ in KEYS:
+            s = stats.get(key)
+            cells.append("-" if s is None else
+                         f"{s['mean']:.3e} +/- {s['std']:.1e}")
+        lines.append(f"| {label} | {n} | " + " | ".join(cells) + " |")
+    lines += ["", "Per-seed values:", ""]
+    for label, stats, _n in rows:
+        lines.append(f"- **{label}**:")
+        for key, name in KEYS:
+            s = stats.get(key)
+            if s:
+                vals = ", ".join(f"{v:.4e}" for v in s["per_seed"])
+                lines.append(f"    - {name}: [{vals}]")
+    lines.append("")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    with open(args.json_out, "w") as f:
+        json.dump(merged, f, indent=1)
+    print("wrote", args.out, "and", args.json_out)
+
+
+if __name__ == "__main__":
+    main()
