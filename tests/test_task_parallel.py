@@ -1,0 +1,245 @@
+"""End-to-end mesh parallelism through the TASK DRIVERS (VERDICT r2 #1).
+
+The reference exposes multi-device training as a first-class trainer flag
+(``configs/navierstokes2d.yaml:55,70-71`` devices/strategy/num_nodes,
+``scripts/train.py:29-46``); here the analog is the ``parallel.*`` config
+block on every task.  These tests run each driver's REAL ``train()`` twice on
+the 8-device virtual CPU mesh — single-device vs ``parallel.data=2`` (and a
+spatially partitioned arm for the PDE task) — and require the logged losses
+to agree: the sharded run must be the same computation, reduced over ICI.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def read_metrics(logdir):
+    out = {}
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            for k, v in rec.items():
+                if isinstance(v, (int, float)):
+                    out.setdefault(k, []).append(v)
+    return out
+
+
+def assert_close_series(a, b, keys, rtol=2e-4, atol=1e-6):
+    for k in keys:
+        assert k in a and k in b, (k, sorted(a), sorted(b))
+        np.testing.assert_allclose(a[k], b[k], rtol=rtol, atol=atol,
+                                   err_msg=k)
+
+
+# ---------------------------------------------------------------- pde
+
+def _pde_cfg(logdir, data=1, model=1, spatial=1):
+    from unet_design_tpu.tasks import pde
+    cfg = pde.Config()
+    cfg.model.hidden_channels = 8
+    cfg.data.task = "synthetic"
+    cfg.data.n_synthetic = 4
+    cfg.data.resolution = 32
+    cfg.data.batch_size = 2
+    cfg.data.train_cycles = 1
+    cfg.train.num_epochs_list = [1]
+    cfg.train.logdir = logdir
+    cfg.parallel.data = data
+    cfg.parallel.model = model
+    cfg.parallel.spatial = spatial
+    return cfg
+
+
+PDE_KEYS = ["train/loss_mean", "valid/loss/mse",
+            "valid/unrolled_loss_mean"]
+
+
+@pytest.fixture(scope="module")
+def pde_single(tmp_path_factory):
+    from unet_design_tpu.tasks import pde
+    d = str(tmp_path_factory.mktemp("pde_single"))
+    pde.train(_pde_cfg(d))
+    return read_metrics(d)
+
+
+def test_pde_train_data_parallel(tmp_path, pde_single):
+    from unet_design_tpu.tasks import pde
+    d = str(tmp_path / "dp2")
+    pde.train(_pde_cfg(d, data=2))
+    assert_close_series(pde_single, read_metrics(d), PDE_KEYS)
+
+
+def test_pde_train_data_spatial_parallel(tmp_path):
+    """Grid partitioning through the real driver: batch over 'data', the
+    field H dim over 'spatial' (GSPMD conv halo exchanges).  Runs at 64px —
+    the guarded minimum for spatial=2 — so the deepest feature map keeps
+    >= 2 rows per shard (see mesh.MIN_ROWS_PER_SPATIAL_SHARD)."""
+    from unet_design_tpu.tasks import pde
+    d0, d1 = str(tmp_path / "single64"), str(tmp_path / "dp2sp2")
+    c0, c1 = _pde_cfg(d0), _pde_cfg(d1, data=2, spatial=2)
+    c0.data.resolution = c1.data.resolution = 64
+    pde.train(c0)
+    pde.train(c1)
+    assert_close_series(read_metrics(d0), read_metrics(d1), PDE_KEYS)
+
+
+def test_pde_spatial_resolution_guard(tmp_path):
+    """32px / spatial=2 would leave 1 bottleneck row per shard — the mesh
+    layer must reject it (measured XLA partitioner grad mis-reduction)."""
+    from unet_design_tpu.tasks import pde
+    cfg = _pde_cfg(str(tmp_path), data=2, spatial=2)  # resolution 32
+    with pytest.raises(ValueError, match="rows per shard"):
+        pde.train(cfg)
+
+
+def test_pde_host_stream_data_parallel(tmp_path, pde_single):
+    """The non-HBM-staged (host-streaming) path shards per-step batches."""
+    from unet_design_tpu.tasks import pde
+    d0, d1 = str(tmp_path / "host1"), str(tmp_path / "host2")
+    c0, c1 = _pde_cfg(d0), _pde_cfg(d1, data=2)
+    c0.data.device_cache = c1.data.device_cache = False
+    from unet_design_tpu.tasks import pde as _pde
+    _pde.train(c0)
+    _pde.train(c1)
+    assert_close_series(read_metrics(d0), read_metrics(d1),
+                        ["train/loss_mean", "valid/loss/mse"])
+
+
+def test_pde_batch_divisibility_guard(tmp_path):
+    from unet_design_tpu.tasks import pde
+    cfg = _pde_cfg(str(tmp_path), data=3)
+    with pytest.raises(ValueError, match="divisible"):
+        pde.train(cfg)
+
+
+# ---------------------------------------------------------------- diff_cifar
+
+def _cifar_cfg(logdir, data=1, model=1, device_cache=True):
+    from unet_design_tpu.tasks import diff_cifar
+    cfg = diff_cifar.Config()
+    cfg.model.ch = 32   # GroupNorm(32) must divide ch
+    cfg.model.ch_mult = [1, 2]
+    cfg.model.attn = []
+    cfg.model.num_res_blocks = 1
+    cfg.model.dropout = 0.0
+    cfg.diffusion.T = 10
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 16
+    cfg.data.batch_size = 4
+    cfg.data.device_cache = device_cache
+    cfg.train.num_iterations_list = [4]
+    cfg.train.metrics_every_iters = 1
+    cfg.train.logdir = logdir
+    cfg.parallel.data = data
+    cfg.parallel.model = model
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def cifar_single(tmp_path_factory):
+    from unet_design_tpu.tasks import diff_cifar
+    d = str(tmp_path_factory.mktemp("cifar_single"))
+    diff_cifar.train(_cifar_cfg(d))
+    return read_metrics(d)
+
+
+def test_cifar_train_data_parallel(tmp_path, cifar_single):
+    from unet_design_tpu.tasks import diff_cifar
+    d = str(tmp_path / "dp2")
+    diff_cifar.train(_cifar_cfg(d, data=2))
+    assert_close_series(cifar_single, read_metrics(d),
+                        ["train/loss", "train/grad_norm"])
+
+
+def test_cifar_train_data_model_parallel(tmp_path, cifar_single):
+    """DP x TP through the real driver (kernels sharded over 'model')."""
+    from unet_design_tpu.tasks import diff_cifar
+    d = str(tmp_path / "dp2tp2")
+    diff_cifar.train(_cifar_cfg(d, data=2, model=2))
+    assert_close_series(cifar_single, read_metrics(d),
+                        ["train/loss", "train/grad_norm"])
+
+
+def test_cifar_host_stream_data_parallel(tmp_path, cifar_single):
+    from unet_design_tpu.tasks import diff_cifar
+    d = str(tmp_path / "host_dp2")
+    diff_cifar.train(_cifar_cfg(d, data=2, device_cache=False))
+    assert_close_series(cifar_single, read_metrics(d),
+                        ["train/loss", "train/grad_norm"])
+
+
+def test_cifar_evaluate_receives_mesh(tmp_path, monkeypatch):
+    """train() with eval_step must pass its mesh into evaluate()."""
+    from unet_design_tpu.tasks import diff_cifar
+    seen = {}
+    real_eval = diff_cifar.evaluate
+
+    def spy(cfg, model, params, sch, rng, n_levels_used, resolution,
+            num_images=None, batch_size=256, mesh=None):
+        seen["mesh"] = mesh
+        return real_eval(cfg, model, params, sch, rng, n_levels_used,
+                         resolution, num_images=8, batch_size=8, mesh=mesh)
+
+    monkeypatch.setattr(diff_cifar, "evaluate", spy)
+    cfg = _cifar_cfg(str(tmp_path), data=2)
+    cfg.train.eval_step = 2   # must fire inside the 4-iteration stage
+    cfg.train.num_eval_images = 8
+    diff_cifar.train(cfg)
+    assert seen.get("mesh") is not None
+    assert seen["mesh"].shape["data"] == 2
+
+
+# ---------------------------------------------------------------- diff_mnist
+
+def _mnist_cfg(logdir, data=1):
+    from unet_design_tpu.tasks import diff_mnist
+    cfg = diff_mnist.Config()
+    cfg.model.name = "unet_wavelet"
+    cfg.model.num_channels = 32   # GroupNorm(32) must divide channels
+    cfg.model.num_res_blocks = 1
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_size = 16
+    cfg.data.resolution = 16
+    cfg.data.batch_size = 4
+    cfg.train.num_iterations_list = [4]
+    cfg.train.metrics_every_iters = 2
+    cfg.train.logdir = logdir
+    cfg.parallel.data = data
+    return cfg
+
+
+def test_mnist_train_data_parallel(tmp_path):
+    from unet_design_tpu.tasks import diff_mnist
+    d0, d1 = str(tmp_path / "s"), str(tmp_path / "dp2")
+    diff_mnist.train(_mnist_cfg(d0))
+    diff_mnist.train(_mnist_cfg(d1, data=2))
+    assert_close_series(read_metrics(d0), read_metrics(d1),
+                        ["train/loss", "train/grad_norm"])
+
+
+# ---------------------------------------------------------------- wmh
+
+def _wmh_cfg(logdir, data=1):
+    from unet_design_tpu.tasks import wmh
+    cfg = wmh.Config()
+    cfg.model.hidden_channels = 8
+    cfg.data.synthetic = True
+    cfg.data.synthetic_size = 8
+    cfg.data.resolution = 48
+    cfg.data.batch_size = 4
+    cfg.train.num_epochs_list = [1]
+    cfg.train.logdir = logdir
+    cfg.parallel.data = data
+    return cfg
+
+
+def test_wmh_train_data_parallel(tmp_path):
+    from unet_design_tpu.tasks import wmh
+    d0, d1 = str(tmp_path / "s"), str(tmp_path / "dp2")
+    wmh.train(_wmh_cfg(d0))
+    wmh.train(_wmh_cfg(d1, data=2))
+    assert_close_series(read_metrics(d0), read_metrics(d1),
+                        ["train/loss", "valid/loss", "test/loss"],
+                        rtol=5e-4)

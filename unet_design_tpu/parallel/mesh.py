@@ -17,12 +17,134 @@ exactly where the reference keys off ``dist.get_rank()``.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class ParallelConfig:
+    """The ``parallel.*`` config block shared by every task driver — the
+    analog of the reference's Lightning ``trainer.devices`` / ``strategy`` /
+    ``num_nodes`` flags (``configs/navierstokes2d.yaml:55,70-71``,
+    ``scripts/train.py:29-46``).  All-1 axes (the default) keep the exact
+    single-device code path; any axis > 1 builds a mesh and the task's
+    batches/state are placed on it."""
+
+    data: int = 1        # batch-axis sharding (DP; the reference's only mode)
+    model: int = 1       # output-channel tensor parallelism (beyond ref)
+    spatial: int = 1     # grid partitioning of the field H dim (beyond ref)
+    # multi-process (one process per host): jax.distributed.initialize args
+    coordinator_address: str = ""
+    num_processes: int = 1
+    process_id: int = 0
+
+
+def task_mesh(cfg: ParallelConfig) -> Optional[Mesh]:
+    """Build the task's mesh from its ``parallel`` config block.
+
+    Returns ``None`` when every axis is 1 so drivers keep their unsharded
+    fast path.  With ``num_processes`` > 1 the distributed runtime is
+    initialized first (each host then contributes its local devices)."""
+    n = cfg.data * cfg.model * cfg.spatial
+    if n <= 1:
+        return None
+    if cfg.num_processes > 1:
+        initialize_distributed(cfg.coordinator_address or None,
+                               cfg.num_processes, cfg.process_id)
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"parallel config asks for {n} devices "
+            f"(data={cfg.data} x model={cfg.model} x spatial={cfg.spatial}) "
+            f"but only {len(devices)} are visible")
+    return make_mesh(data=cfg.data, model=cfg.model, spatial=cfg.spatial,
+                     devices=devices[:n])
+
+
+def place_state(state: Any, mesh: Optional[Mesh],
+                min_channels: int = 128) -> Any:
+    """Place a TrainState (or any pytree) on the mesh: large kernels (and
+    their optimizer moments, which share shapes) sharded over 'model',
+    everything else replicated.  With model=1 this is plain replication; with
+    mesh=None it is the identity."""
+    if mesh is None:
+        return state
+    return tensor_parallel_params(state, mesh, min_channels=min_channels)
+
+
+def shard_index_stream(arr: jnp.ndarray, mesh: Optional[Mesh]) -> jnp.ndarray:
+    """Place a (n_steps, batch) int stream for a scanned epoch/chunk call:
+    the scan axis stays whole, the batch axis is sharded over 'data' so each
+    scanned step gathers only its shard's windows."""
+    if mesh is None:
+        return arr
+    return jax.device_put(
+        arr, NamedSharding(mesh, P(None, "data", *([None] *
+                                                   (arr.ndim - 2)))))
+
+
+def place_dataset(x: jnp.ndarray, mesh: Optional[Mesh],
+                  h_axis: Optional[int] = None) -> jnp.ndarray:
+    """Place an HBM-staged dataset: replicated over 'data'/'model' (steps
+    gather arbitrary rows from it), with the spatial H dim sharded over
+    'spatial' when that axis exists — gathers over the leading axis keep the
+    H sharding, so activations are born grid-partitioned."""
+    if mesh is None:
+        return x
+    spec = [None] * x.ndim
+    n_sp = mesh.shape.get("spatial", 1)
+    if n_sp > 1 and h_axis is not None:
+        ha = x.ndim + h_axis if h_axis < 0 else h_axis
+        assert x.shape[ha] % n_sp == 0, (
+            f"dataset spatial dim {x.shape[ha]} must divide the 'spatial' "
+            f"mesh axis ({n_sp})")
+        spec[ha] = "spatial"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def check_batch_divisible(mesh: Optional[Mesh], batch_size: int,
+                          what: str = "batch_size") -> None:
+    if mesh is not None and batch_size % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"{what}={batch_size} must be divisible by the 'data' mesh axis "
+            f"({mesh.shape['data']}) so every device gets equal batch shards")
+
+
+# Minimum image/field rows per 'spatial' shard.  Grid partitioning must keep
+# the DEEPEST U-Net feature map at >= 2 rows per shard: with a 16x-downsample
+# encoder, 32 input rows/shard <=> 2 bottleneck rows/shard.  Below that the
+# XLA SPMD partitioner hits a measured mis-partitioning edge case on a
+# 2-D (data x spatial) mesh: it replicates the degenerate level across the
+# 'data' axis but still psums its parameter grads over 'data', yielding
+# gradients scaled by exactly the data-axis size (forward values stay
+# correct; verified 2x at data=2 and 4x at data=4 on the 8-device CPU mesh,
+# while per-shard >= 2 bottleneck rows matches replicated grads to ~3e-6).
+MIN_ROWS_PER_SPATIAL_SHARD = 32
+
+
+def check_spatial_resolution(mesh: Optional[Mesh], resolution: int,
+                             what: str = "resolution") -> None:
+    """Refuse spatial shardings that drop below the safe per-shard extent
+    (see :data:`MIN_ROWS_PER_SPATIAL_SHARD`).  ``resolution`` should be the
+    smallest field height the run will train at (staged/sequ drivers pass
+    their most-downsampled stage resolution)."""
+    if mesh is None:
+        return
+    n_sp = mesh.shape.get("spatial", 1)
+    if n_sp > 1 and resolution // n_sp < MIN_ROWS_PER_SPATIAL_SHARD:
+        raise ValueError(
+            f"parallel.spatial={n_sp} leaves {resolution // n_sp} rows per "
+            f"shard at {what}={resolution}; grid partitioning needs >= "
+            f"{MIN_ROWS_PER_SPATIAL_SHARD} rows/shard so a 16x-downsample "
+            f"U-Net keeps >= 2 bottleneck rows per shard (below that the "
+            f"XLA partitioner mis-reduces parameter grads on a "
+            f"data x spatial mesh — see parallel/mesh.py). Lower "
+            f"parallel.spatial or raise the resolution.")
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -56,9 +178,16 @@ def make_mesh(data: Optional[int] = None, model: int = 1, spatial: int = 1,
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree of host arrays with the batch axis over 'data'."""
+    """Device-put a pytree of host arrays with the batch axis over 'data'.
+
+    A tail batch whose leading dim doesn't divide the 'data' axis is
+    replicated instead (correct, just not parallel) so drivers with
+    ``drop_last=False`` loaders keep working."""
     def put(x):
-        spec = P("data", *([None] * (x.ndim - 1)))
+        if x.shape[0] % mesh.shape["data"] == 0:
+            spec = P("data", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(put, batch)
 
@@ -83,7 +212,8 @@ def spatial_shard_batch(batch: Any, mesh: Mesh, h_axis: int = -3) -> Any:
     def put(x):
         ha = x.ndim + h_axis if h_axis < 0 else h_axis
         spec = [None] * x.ndim
-        spec[0] = "data"
+        if x.shape[0] % mesh.shape["data"] == 0:
+            spec[0] = "data"   # non-divisible tail batches replicate
         if n_sp > 1 and 0 < ha < x.ndim:
             assert x.shape[ha] % n_sp == 0, (
                 f"spatial dim {x.shape[ha]} must divide the 'spatial' mesh "

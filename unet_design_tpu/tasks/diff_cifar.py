@@ -24,6 +24,7 @@ from unet_design_tpu.data import image as image_data
 from unet_design_tpu.data import loader as loader_lib
 from unet_design_tpu.models.multires_unet import MultiResUNet
 from unet_design_tpu.ops import wavelet
+from unet_design_tpu.parallel import mesh as mesh_lib
 from unet_design_tpu.process import diffusion
 from unet_design_tpu.train import freezing, schedules, trainer
 from unet_design_tpu.train.checkpoint import CheckpointManager
@@ -111,6 +112,10 @@ class Config:
         default_factory=DiffusionConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # mesh parallelism (parallel.data=N shards the GLOBAL batch over N
+    # devices — the reference's nn.DataParallel wrap, diff_cifar/main.py:235-238)
+    parallel: mesh_lib.ParallelConfig = dataclasses.field(
+        default_factory=mesh_lib.ParallelConfig)
 
 
 def build_model(cfg: Config) -> MultiResUNet:
@@ -190,6 +195,11 @@ def check_config(cfg: Config) -> None:
 def train(cfg: Config):
     cfg = config_lib.restore_run_config(cfg)
     check_config(cfg)
+    mesh = mesh_lib.task_mesh(cfg.parallel)
+    if mesh is not None:
+        mesh_lib.check_batch_divisible(mesh, cfg.data.batch_size,
+                                       "data.batch_size")
+        log.info("Mesh parallelism: %s", dict(mesh.shape))
     rng = jax.random.PRNGKey(cfg.train.seed)
     if cfg.data.dataset == "cifar10":
         data, _ = image_data.load_cifar10(cfg.data.root, train=True)
@@ -197,6 +207,10 @@ def train(cfg: Config):
         data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
     highest_res = data.shape[1]
     in_ch = data.shape[-1]
+    # staged (sequ) runs train the first stage most-downsampled
+    mesh_lib.check_spatial_resolution(
+        mesh, highest_res >> (len(cfg.train.num_iterations_list) - 1),
+        "smallest stage resolution")
 
     model = build_model(cfg)
     n_levels = model.n_levels
@@ -250,7 +264,12 @@ def train(cfg: Config):
 
     # device_cache: stage the dataset in HBM once; the batch stream then
     # carries only indices (identical permutation RNG either way)
-    data_dev = jnp.asarray(data) if cfg.data.device_cache else None
+    data_dev = None
+    if cfg.data.device_cache:
+        # on a mesh the image H dim shards over 'spatial' (grid partitioning)
+        # and the rest replicates; steps gather arbitrary rows from it
+        data_dev = mesh_lib.place_dataset(data, mesh, h_axis=1) \
+            if mesh is not None else jnp.asarray(data)
     source = [np.arange(len(data))] if data_dev is not None else [data]
     batches = loader_lib.infinite_batches(source, cfg.data.batch_size,
                                           seed=cfg.train.seed,
@@ -288,6 +307,9 @@ def train(cfg: Config):
                 "params": state.params, "ema_params": state.ema_params,
                 "opt_state": state.opt_state, "rng": state.rng,
                 "step": state.step}))
+        # mesh placement: params/EMA/opt-moments TP-sharded over 'model'
+        # (plain replication when model=1), scalars/rng replicated
+        state = mesh_lib.place_state(state, mesh)
 
         def loss_fn(p, step_rng, batch, n=n, stage=stage):
             def model_fn(x, t, nl):
@@ -370,7 +392,8 @@ def train(cfg: Config):
         def fire_eval(state):
             e_rng = jax.random.fold_in(rng, 20_000 + step_count)
             scores = evaluate(cfg, model, state.ema_params, sch, e_rng,
-                              n_levels_used=n, resolution=cur_res)
+                              n_levels_used=n, resolution=cur_res,
+                              mesh=mesh)
             metrics.log({f"eval/{k}": v for k, v in scores.items()
                          if np.isscalar(v)}, step_count)
 
@@ -402,9 +425,13 @@ def train(cfg: Config):
                     np.random.default_rng(
                         (cfg.train.seed, step_count + j))
                     .random(idxs.shape[1]) < 0.5 for j in range(chunk)])
+                # per-step batch axis sharded over 'data' (axis 1 of the
+                # (chunk, bs) streams): each device gathers its shard only
                 state, losses, loss_lists, gns = chunk_fn(
-                    state, data_dev, jnp.asarray(idxs, jnp.int32),
-                    jnp.asarray(flips))
+                    state, data_dev,
+                    mesh_lib.shard_index_stream(
+                        jnp.asarray(idxs, jnp.int32), mesh),
+                    mesh_lib.shard_index_stream(jnp.asarray(flips), mesh))
                 step_count = k_end
                 loss, grad_norm = losses[-1], gns[-1]
                 loss_list = [l[-1] for l in loss_lists]
@@ -416,6 +443,9 @@ def train(cfg: Config):
                 x0 = jnp.asarray(x0)
                 if sequ and stage.n_downsample:
                     x0 = wavelet.haar_downsample(x0, stage.n_downsample)
+                if mesh is not None:
+                    # NHWC: batch over 'data', H over 'spatial'
+                    x0 = mesh_lib.spatial_shard_batch(x0, mesh)
                 state, loss, loss_list, grad_norm = step_fn(state, x0)
             if step_count % cfg.train.metrics_every_iters == 0:
                 fire_metrics(loss, loss_list, grad_norm)
@@ -464,16 +494,15 @@ def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
     num_images = num_images or cfg.train.num_eval_images
     sampler = make_sampler(cfg, model, sch, n_levels_used)
     if mesh is not None:
-        from unet_design_tpu.parallel import mesh as mesh_lib
-        params = mesh_lib.replicate(params, mesh)
-        batch_size = (batch_size // mesh.shape["data"]) * mesh.shape["data"]
+        params = mesh_lib.place_state(params, mesh)
+        batch_size = max((batch_size // mesh.shape["data"])
+                         * mesh.shape["data"], mesh.shape["data"])
     images = []
     for s in range(0, num_images, batch_size):
         b = min(batch_size, num_images - s)
         rng, n_rng, s_rng = jax.random.split(rng, 3)
         x_T = jax.random.normal(n_rng, (b, resolution, resolution, 3))
         if mesh is not None:
-            from unet_design_tpu.parallel import mesh as mesh_lib
             # pad the tail batch up to a mesh multiple so it samples sharded
             # too (padded rows are trimmed after sampling)
             pad = (-b) % mesh.shape["data"]

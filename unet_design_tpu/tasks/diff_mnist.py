@@ -27,6 +27,7 @@ from unet_design_tpu.data import triangular as tri_data
 from unet_design_tpu.models.openai_unet import (ScoreNetwork, UNetModel,
                                                 WaveletUNetOpenAI)
 from unet_design_tpu.ops import wavelet
+from unet_design_tpu.parallel import mesh as mesh_lib
 from unet_design_tpu.process import diffusion
 from unet_design_tpu.train import freezing, trainer
 from unet_design_tpu.train.checkpoint import CheckpointManager
@@ -109,6 +110,11 @@ class Config:
         default_factory=DiffusionConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # mesh parallelism: parallel.data=N shards the GLOBAL batch over N
+    # devices (the reference fork is single-GPU; this is the uniform
+    # parallel block shared by all four task drivers)
+    parallel: mesh_lib.ParallelConfig = dataclasses.field(
+        default_factory=mesh_lib.ParallelConfig)
 
 
 def default_channel_mult(image_size: int) -> Tuple[int, ...]:
@@ -191,6 +197,16 @@ restore_run_config = config_lib.restore_run_config
 def train(cfg: Config):
     cfg = restore_run_config(cfg)
     check_config(cfg)
+    mesh = mesh_lib.task_mesh(cfg.parallel)
+    if mesh is not None:
+        mesh_lib.check_batch_divisible(mesh, cfg.data.batch_size,
+                                       "data.batch_size")
+        # staged (sequ) runs train the first stage most-downsampled
+        mesh_lib.check_spatial_resolution(
+            mesh,
+            cfg.data.resolution >> (len(cfg.train.num_iterations_list) - 1),
+            "smallest stage resolution")
+        log.info("Mesh parallelism: %s", dict(mesh.shape))
     rng = jax.random.PRNGKey(cfg.train.seed)
     data = load_dataset(cfg.data)
     in_channels = data.shape[-1]
@@ -251,7 +267,10 @@ def train(cfg: Config):
                                         params, raw["params"])
         log.info("Resumed from checkpoint step %d", resume_step)
 
-    data_dev = jnp.asarray(data) if cfg.data.device_cache else None
+    data_dev = None
+    if cfg.data.device_cache:
+        data_dev = mesh_lib.place_dataset(data, mesh, h_axis=1) \
+            if mesh is not None else jnp.asarray(data)
     source = [np.arange(len(data))] if data_dev is not None else [data]
     batches = loader_lib.infinite_batches(source, cfg.data.batch_size,
                                           seed=cfg.train.seed,
@@ -281,6 +300,9 @@ def train(cfg: Config):
             state = state.replace(**src_ckpt.restore(resume_step, {
                 "params": state.params, "opt_state": state.opt_state,
                 "rng": state.rng, "step": state.step}))
+        # mesh placement: params/opt-moments TP-sharded over 'model'
+        # (plain replication when model=1), scalars/rng replicated
+        state = mesh_lib.place_state(state, mesh)
 
         stage_kw = dict(stage=stage.index, n_stages=stage.n_stages) \
             if cfg.diffusion.staged_partitioned_time_intervals and sequ \
@@ -360,7 +382,8 @@ def train(cfg: Config):
                 chunk = k_end - train_iter + 1
                 idxs = np.stack([next(batches)[0] for _ in range(chunk)])
                 state, losses, loss_lists, gns = chunk_fn(
-                    state, data_dev, jnp.asarray(idxs, jnp.int32))
+                    state, data_dev, mesh_lib.shard_index_stream(
+                        jnp.asarray(idxs, jnp.int32), mesh))
                 train_iter = k_end
                 loss, grad_norm = losses[-1], gns[-1]
                 loss_list = [l[-1] for l in loss_lists]
@@ -379,6 +402,8 @@ def train(cfg: Config):
                 if sequ and stage.n_downsample > 0:
                     batch = wavelet.haar_downsample(batch,
                                                     stage.n_downsample)
+                if mesh is not None:
+                    batch = mesh_lib.spatial_shard_batch(batch, mesh)
                 state, loss, loss_list, grad_norm = step_fn(state, batch)
             if train_iter % cfg.train.metrics_every_iters == 0:
                 # train/grad_norm: the wandb.watch(model) analog (main.py:188)

@@ -25,6 +25,7 @@ from unet_design_tpu.data import loader as loader_lib
 from unet_design_tpu.data import pde as pde_data
 from unet_design_tpu.evalx import metrics as eval_metrics
 from unet_design_tpu.models import registry
+from unet_design_tpu.parallel import mesh as mesh_lib
 from unet_design_tpu.process import losses as losses_lib
 from unet_design_tpu.process import rollout as rollout_lib
 from unet_design_tpu.ops import wavelet
@@ -145,6 +146,11 @@ class Config:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # mesh parallelism (parallel.data=N shards the GLOBAL batch over N
+    # devices; the reference's Lightning `trainer.devices`/`strategy` analog,
+    # configs/navierstokes2d.yaml:55,70-71)
+    parallel: mesh_lib.ParallelConfig = dataclasses.field(
+        default_factory=mesh_lib.ParallelConfig)
 
 
 def pde_config(cfg: DataConfig) -> pde_data.PDEDataConfig:
@@ -224,6 +230,16 @@ def _gather_windows(fields: jnp.ndarray, idx: jnp.ndarray,
 
 
 def train(cfg: Config):
+    mesh = mesh_lib.task_mesh(cfg.parallel)
+    if mesh is not None:
+        mesh_lib.check_batch_divisible(mesh, cfg.data.batch_size,
+                                       "data.batch_size")
+        # staged (sequ) runs train the first stage most-downsampled
+        mesh_lib.check_spatial_resolution(
+            mesh,
+            cfg.data.resolution >> (len(cfg.train.num_epochs_list) - 1),
+            "smallest stage resolution")
+        log.info("Mesh parallelism: %s", dict(mesh.shape))
     rng = jax.random.PRNGKey(cfg.train.seed)
     pde = pde_config(cfg.data)
     model = build_model(cfg)
@@ -268,13 +284,18 @@ def train(cfg: Config):
     if cfg.data.device_cache and hasattr(train_opener, "stacked_fields"):
         stacked = train_opener.stacked_fields()
         if stacked.nbytes <= cfg.data.device_cache_max_bytes:
-            fields_dev = jnp.asarray(stacked)   # one bulk H2D upload
+            # one bulk H2D upload; on a mesh the H dim shards over 'spatial'
+            # (grid partitioning) and the rest replicates — (B,T,H,W,C)
+            fields_dev = mesh_lib.place_dataset(stacked, mesh, h_axis=2) \
+                if mesh is not None else jnp.asarray(stacked)
             log.info("Train set staged in device HBM: %s (%.2f GB)",
                      stacked.shape, stacked.nbytes / 1e9)
             vstacked = valid_opener.stacked_fields()
             if (stacked.nbytes + vstacked.nbytes
                     <= cfg.data.device_cache_max_bytes):
-                valid_fields_dev = jnp.asarray(vstacked)
+                valid_fields_dev = mesh_lib.place_dataset(
+                    vstacked, mesh, h_axis=2) if mesh is not None \
+                    else jnp.asarray(vstacked)
                 log.info("Valid set staged in device HBM: %s (%.2f GB)",
                          vstacked.shape, vstacked.nbytes / 1e9)
             del vstacked
@@ -374,6 +395,9 @@ def train(cfg: Config):
                     model_state=restored.get("model_state",
                                              state.model_state))
             resume_state_raw = None
+            # mesh placement: params/opt-moments TP-sharded over 'model'
+            # (replication when model=1), scalars/rng replicated
+            state = mesh_lib.place_state(state, mesh)
 
             has_mstate = bool(model_state)
 
@@ -479,10 +503,15 @@ def train(cfg: Config):
             starts = ep_rng.integers(0, mst + 1, size=idx_stream.size)
             bs = cfg.data.batch_size
             n_steps = idx_stream.size // bs
-            idxs = jnp.asarray(
-                idx_stream[:n_steps * bs].reshape(n_steps, bs), jnp.int32)
-            sts = jnp.asarray(
-                starts[:n_steps * bs].reshape(n_steps, bs), jnp.int32)
+            # on a mesh the per-step batch axis shards over 'data': each
+            # device gathers only its shard's windows and XLA all-reduces
+            # the loss/grads over ICI
+            idxs = mesh_lib.shard_index_stream(jnp.asarray(
+                idx_stream[:n_steps * bs].reshape(n_steps, bs), jnp.int32),
+                mesh)
+            sts = mesh_lib.shard_index_stream(jnp.asarray(
+                starts[:n_steps * bs].reshape(n_steps, bs), jnp.int32),
+                mesh)
             t0 = time.monotonic()
             mss = cfg.train.max_scan_steps
             if mss and n_steps > mss:
@@ -511,8 +540,11 @@ def train(cfg: Config):
                 cycles=cycles)
             for bx, by in pde_data.batched_windows(windows,
                                                    cfg.data.batch_size):
-                state, loss, aux = step_fn(state, (jnp.asarray(bx),
-                                                   jnp.asarray(by)))
+                batch = (jnp.asarray(bx), jnp.asarray(by))
+                if mesh is not None:
+                    # (B,T,H,W,C): batch over 'data', H over 'spatial'
+                    batch = mesh_lib.spatial_shard_batch(batch, mesh)
+                state, loss, aux = step_fn(state, batch)
                 epoch_losses.append(loss)
                 step += 1
         if len(epoch_losses):
@@ -533,7 +565,7 @@ def train(cfg: Config):
                 val = validate_device(cfg, model, params, model_state, pde,
                                       n_levels_used,
                                       n_downsample if sequ else 0,
-                                      valid_fields_dev)
+                                      valid_fields_dev, mesh=mesh)
             else:
                 val = validate(cfg, model, params, model_state, pde,
                                n_levels_used, n_downsample if sequ else 0,
@@ -643,7 +675,7 @@ def _build_device_validators(model, n_levels_used, nd, th, tf, tg, g_model,
 
 
 def validate_device(cfg: Config, model, params, model_state, pde,
-                    n_levels_used, n_downsample, fields_dev):
+                    n_levels_used, n_downsample, fields_dev, mesh=None):
     """Device-resident validation: identical statistics to :func:`validate`
     but the eval set lives in HBM and both the one-step sweep and the
     rollout sweep run as scanned device calls (per-batch dispatch through
@@ -676,8 +708,10 @@ def validate_device(cfg: Config, model, params, model_state, pde,
     if n_b:
         outs = one_step_scan(
             params, model_state, fields_dev,
-            jnp.asarray(idx_stream[:n_b * bs].reshape(n_b, bs), jnp.int32),
-            jnp.asarray(start_stream[:n_b * bs].reshape(n_b, bs), jnp.int32))
+            mesh_lib.shard_index_stream(jnp.asarray(
+                idx_stream[:n_b * bs].reshape(n_b, bs), jnp.int32), mesh),
+            mesh_lib.shard_index_stream(jnp.asarray(
+                start_stream[:n_b * bs].reshape(n_b, bs), jnp.int32), mesh))
         result = {f"valid/loss/{k}": float(v) for k, v in outs.items()}
 
     # ---- rollout sweep: per-trajectory unrolled loss, whole batches per
@@ -686,8 +720,9 @@ def validate_device(cfg: Config, model, params, model_state, pde,
     if starts_r:
         n_full = n_traj // bs
         if n_full:
-            idxs = jnp.asarray(np.arange(n_full * bs).reshape(n_full, bs),
-                               jnp.int32)
+            idxs = mesh_lib.shard_index_stream(
+                jnp.asarray(np.arange(n_full * bs).reshape(n_full, bs),
+                            jnp.int32), mesh)
             unrolled.extend(np.asarray(
                 rollout_scan(params, model_state, fields_dev, idxs)))
         if n_traj % bs:

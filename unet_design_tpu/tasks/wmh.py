@@ -24,6 +24,7 @@ from unet_design_tpu.data import wmh as wmh_data
 from unet_design_tpu.evalx import wmh_metrics
 from unet_design_tpu.models.unetbase import WMHSegUnet
 from unet_design_tpu.ops import wavelet
+from unet_design_tpu.parallel import mesh as mesh_lib
 from unet_design_tpu.process import losses as losses_lib
 from unet_design_tpu.train import freezing, trainer
 from unet_design_tpu.train.checkpoint import CheckpointManager
@@ -80,6 +81,10 @@ class Config:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # mesh parallelism: parallel.data=N shards the GLOBAL batch over N
+    # devices (uniform parallel block shared by all four task drivers)
+    parallel: mesh_lib.ParallelConfig = dataclasses.field(
+        default_factory=mesh_lib.ParallelConfig)
 
 
 def load_data(cfg: DataConfig):
@@ -102,6 +107,16 @@ def load_data(cfg: DataConfig):
 
 
 def train(cfg: Config):
+    mesh = mesh_lib.task_mesh(cfg.parallel)
+    if mesh is not None:
+        mesh_lib.check_batch_divisible(mesh, cfg.data.batch_size,
+                                       "data.batch_size")
+        # staged (sequ) runs train the first stage most-downsampled
+        mesh_lib.check_spatial_resolution(
+            mesh,
+            cfg.data.resolution >> (len(cfg.train.num_epochs_list) - 1),
+            "smallest stage resolution")
+        log.info("Mesh parallelism: %s", dict(mesh.shape))
     rng = jax.random.PRNGKey(cfg.train.seed)
     (tr_x, tr_y), (va_x, va_y), (te_x, te_y) = load_data(cfg.data)
 
@@ -185,6 +200,8 @@ def train(cfg: Config):
                     opt_state=restored["opt_state"], rng=restored["rng"],
                     step=restored["step"])
             resume_state_raw = None
+            # mesh placement (replication for data-parallel; TP when model>1)
+            state = mesh_lib.place_state(state, mesh)
 
             def loss_fn(p, step_rng, batch, n=n, nd=n_downsample):
                 x, y = batch
@@ -226,8 +243,12 @@ def train(cfg: Config):
                 bx, by = wmh_data.augment_batch(bx, by,
                                                 cfg.data.augmentation,
                                                 aug_rng)
-            state, loss, _ = step_fn(state, (jnp.asarray(bx),
-                                             jnp.asarray(by)))
+            batch = (jnp.asarray(bx), jnp.asarray(by))
+            if mesh is not None:
+                # NHWC: batch over 'data', H over 'spatial'; non-divisible
+                # tail batches replicate (drop_last=False loader)
+                batch = mesh_lib.spatial_shard_batch(batch, mesh)
+            state, loss, _ = step_fn(state, batch)
             step += 1
         params = state.params
         metrics_logger.log({"train/loss": float(loss), "epoch": epoch}, step)
