@@ -163,11 +163,25 @@ def _mode_mix(eq: str, x_ft: jnp.ndarray, w: jnp.ndarray
 
 def _mode_mix_ri(eq: str, xr: jnp.ndarray, xi: jnp.ndarray, w: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """:func:`_mode_mix` on an already-split (real, imag) spectrum."""
+    """:func:`_mode_mix` on an already-split (real, imag) spectrum.
+
+    Fused single-einsum form: the (re, im) planes stack on the input-channel
+    axis and the complex weight becomes the real 2x2 block matrix
+    ``[[wr, wi], [-wi, wr]]``, so ``[re | im] = [xr | xi] @ blocks``.  The
+    mode mix is a batch (over the kept modes) of tiny ``(batch, C_in, C_out)``
+    matmuls — at the recipe batch size 8 only 8/128 MXU rows are live, so
+    feeding ONE contraction of double width/height instead of FOUR narrow
+    ones quarters the kernel count and doubles both MXU tile dims (measured
+    attribution in docs/tpu_notes.md).  Numerically
+    identical to the four-einsum form up to fp32 summation order: each output
+    is the same sum of two products, now reduced inside one contraction.
+    """
     wr, wi = w[..., 0], w[..., 1]
-    re = jnp.einsum(eq, xr, wr) - jnp.einsum(eq, xi, wi)
-    im = jnp.einsum(eq, xr, wi) + jnp.einsum(eq, xi, wr)
-    return re, im
+    wblk = jnp.concatenate([jnp.concatenate([wr, wi], axis=1),
+                            jnp.concatenate([-wi, wr], axis=1)], axis=0)
+    out = jnp.einsum(eq, jnp.concatenate([xr, xi], axis=-1), wblk)
+    o = out.shape[-1] // 2
+    return out[..., :o], out[..., o:]
 
 
 class SpectralConv1d(nn.Module):
@@ -234,10 +248,11 @@ class SpectralConv2d(nn.Module):
         m1, m2 = self.modes1, self.modes2
         if _use_dft_matmul(h, w, m1, m2):
             xr, xi = _trunc_rfft2(x.astype(jnp.float32), m1, m2)
-            tr, ti = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, :m1], xi[:, :m1], w1)
-            br, bi = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, m1:], xi[:, m1:], w2)
-            y = _trunc_irfft2(jnp.concatenate([tr, br], axis=1),
-                              jnp.concatenate([ti, bi], axis=1), h, w)
+            # both H-corners in ONE fused mode mix: the corner weights just
+            # concatenate along the (batched) mode-x axis
+            re, im = _mode_mix_ri("bxyi,ioxy->bxyo", xr, xi,
+                                  jnp.concatenate([w1, w2], axis=2))
+            y = _trunc_irfft2(re, im, h, w)
             return y.astype(orig_dtype)
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
         tr, ti = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :], w1)
@@ -274,18 +289,13 @@ class SpectralConv3d(nn.Module):
         m1, m2, m3 = self.modes1, self.modes2, self.modes3
         if 2 * m1 <= d and 2 * m2 <= h and m3 <= w // 2:
             xr, xi = _trunc_rfft3(x.astype(jnp.float32), m1, m2, m3)
-            halves = (slice(None, m1), slice(m1, None))
-            halves2 = (slice(None, m2), slice(m2, None))
-            corner_slices = [(halves[0], halves2[0]), (halves[1], halves2[0]),
-                             (halves[0], halves2[1]), (halves[1], halves2[1])]
-            rr = jnp.zeros((b, 2 * m1, 2 * m2, m3, self.out_channels),
-                           jnp.float32)
-            ii = rr
-            for wgt, (s1, s2) in zip(ws, corner_slices):
-                mr, mi = _mode_mix_ri("bxyzi,ioxyz->bxyzo",
-                                      xr[:, s1, s2], xi[:, s1, s2], wgt)
-                rr = rr.at[:, s1, s2].set(mr)
-                ii = ii.at[:, s1, s2].set(mi)
+            # all four (x-half, y-half) corners in ONE fused mode mix: the
+            # per-corner weights tile the (2*m1, 2*m2) mode grid — reference
+            # corner order is (x0,y0)=w1, (x1,y0)=w2, (x0,y1)=w3, (x1,y1)=w4
+            w_grid = jnp.concatenate(
+                [jnp.concatenate([ws[0], ws[2]], axis=3),
+                 jnp.concatenate([ws[1], ws[3]], axis=3)], axis=2)
+            rr, ii = _mode_mix_ri("bxyzi,ioxyz->bxyzo", xr, xi, w_grid)
             y = _trunc_irfft3(rr, ii, d, h, w)
             return y.astype(orig_dtype)
         x_ft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3))
@@ -344,18 +354,15 @@ class CondSpectralConv2d(nn.Module):
         if _use_dft_matmul(hh, ww, m1, m2):
             xr, xi = _trunc_rfft2(x.astype(jnp.float32), m1, m2)
             er, ei = h[..., 0], h[..., 1]  # (B, m1, m2, corner)
-            out_r, out_i = [], []
-            for corner, wgt, sl in ((0, w1, slice(None, m1)),
-                                    (1, w2, slice(m1, None))):
-                cr = er[..., corner][:, :, :, None]
-                ci = ei[..., corner][:, :, :, None]
-                sr = xr[:, sl] * cr - xi[:, sl] * ci
-                si = xr[:, sl] * ci + xi[:, sl] * cr
-                mr, mi = _mode_mix_ri("bxyi,ioxy->bxyo", sr, si, wgt)
-                out_r.append(mr)
-                out_i.append(mi)
-            y = _trunc_irfft2(jnp.concatenate(out_r, axis=1),
-                              jnp.concatenate(out_i, axis=1), hh, ww)
+            # per-corner embedding scaling of the spectrum, then both corners
+            # in ONE fused mode mix (weights concatenated on the mode-x axis)
+            cr = jnp.concatenate([er[..., 0], er[..., 1]], axis=1)[..., None]
+            ci = jnp.concatenate([ei[..., 0], ei[..., 1]], axis=1)[..., None]
+            sr = xr * cr - xi * ci
+            si = xr * ci + xi * cr
+            re, im = _mode_mix_ri("bxyi,ioxy->bxyo", sr, si,
+                                  jnp.concatenate([w1, w2], axis=2))
+            y = _trunc_irfft2(re, im, hh, ww)
             return y.astype(orig_dtype)
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
         top = x_ft[:, :m1, :m2, :] * emb_c[..., 0][:, :, :, None]
@@ -408,11 +415,9 @@ class SpectralConv2dUno(nn.Module):
         # docstring).  rfft_fwd(x) = rfft(x)/(h*w); irfft_fwd(z) = irfft(z)*N.
         if _use_dft_matmul(h, w, m1, m2) and _use_dft_matmul(d1, d2, m1, m2):
             xr, xi = _trunc_rfft2(x.astype(jnp.float32) / (h * w), m1, m2)
-            tr, ti = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, :m1], xi[:, :m1], w1)
-            br, bi = _mode_mix_ri("bxyi,ioxy->bxyo", xr[:, m1:], xi[:, m1:], w2)
-            y = _trunc_irfft2(jnp.concatenate([tr, br], axis=1),
-                              jnp.concatenate([ti, bi], axis=1),
-                              d1, d2) * (d1 * d2)
+            re, im = _mode_mix_ri("bxyi,ioxy->bxyo", xr, xi,
+                                  jnp.concatenate([w1, w2], axis=2))
+            y = _trunc_irfft2(re, im, d1, d2) * (d1 * d2)
             return y.astype(orig_dtype)
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32) / (h * w), axes=(1, 2))
         tr, ti = _mode_mix("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :], w1)
