@@ -135,11 +135,13 @@ def main(argv=None):
         print("FID before training:", json.dumps(before), flush=True)
 
     curve = {}
+    kcurve = {}
     if continuing and os.path.exists(proof_path):
         # extend an existing curve across runs
         with open(proof_path) as f:
             prev = json.load(f)
         curve.update(prev.get("fid_curve", {}))
+        kcurve.update(prev.get("kid_curve", {}))
         if prev.get("train_steps") and prev.get("fid_trained") is not None:
             curve.setdefault(str(prev["train_steps"]), prev["fid_trained"])
 
@@ -148,8 +150,11 @@ def main(argv=None):
                "fid_trained": after.get("FID"),
                "is_untrained": before.get("IS"),
                "is_trained": after.get("IS"),
+               "kid_untrained": before.get("KID"),
+               "kid_trained": after.get("KID"),
                "train_steps": total_steps, "n_images": args.images,
                "fid_curve": {k: curve[k] for k in sorted(curve, key=int)},
+               "kid_curve": {k: kcurve[k] for k in sorted(kcurve, key=int)},
                "note": ("random seeded Inception weights (no egress for the "
                         "pt_inception .pth); architecture parity-proven, "
                         "absolute FID not comparable to published numbers")}
@@ -166,6 +171,7 @@ def main(argv=None):
         out_path = os.path.join(args.logdir,
                                 f"fid_proof_rescore_{args.images}.json")
         rcurve = {}
+        rkcurve = {}
         for m in milestones:
             try:
                 raw = src.restore_raw(m)
@@ -181,11 +187,14 @@ def main(argv=None):
                                     resolution=32, num_images=args.images,
                                     batch_size=args.eval_batch)
             rcurve[str(m)] = r.get("FID")
+            if r.get("KID") is not None:
+                rkcurve[str(m)] = r["KID"]
             print(f"rescore FID at {m} steps:", json.dumps(r), flush=True)
             with open(out_path, "w") as f:   # crash-safe per point
                 json.dump({"n_images": args.images,
                            "fid_untrained": before.get("FID"),
                            "fid_curve": rcurve,
+                           "kid_curve": rkcurve,
                            "note": "random-feature FID at a larger sample "
                                    "count; variance check on the main "
                                    "curve's tail"}, f, indent=1)
@@ -207,6 +216,8 @@ def main(argv=None):
                                     resolution=32, num_images=args.images,
                                     batch_size=args.eval_batch)
         curve[str(src.latest_step())] = after.get("FID")
+        if after.get("KID") is not None:
+            kcurve[str(src.latest_step())] = after["KID"]
         total_steps = src.latest_step()
     else:
         from unet_design_tpu.train.checkpoint import CheckpointManager
@@ -249,6 +260,8 @@ def main(argv=None):
                                             num_images=args.images,
                                             batch_size=args.eval_batch)
             curve[str(m)] = after.get("FID")
+            if after.get("KID") is not None:
+                kcurve[str(m)] = after["KID"]
             print(f"FID at {m} steps:", json.dumps(after), flush=True)
             write_artifact(after, m)  # crash-safe: persist each point
         total_steps = milestones[-1]

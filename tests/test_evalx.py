@@ -152,6 +152,62 @@ def test_rollout_mse_per_step():
     np.testing.assert_allclose(float(s["unrolled_loss"]), 5.0)
 
 
+def test_kid_matches_naive_unbiased_mmd():
+    """One full-set subset must equal the direct O(n^2) unbiased MMD^2."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((12, 6))
+    y = rng.standard_normal((10, 6)) + 0.5
+    got, _ = fid.kernel_inception_distance(x, y, n_subsets=1,
+                                           subset_size=10)
+    # naive computation on a subset drawn with the same RNG protocol
+    r = np.random.RandomState(0)
+    xs = x[r.choice(12, 10, replace=False)]
+    ys = y[r.choice(10, 10, replace=False)]
+    k = lambda a, b: (a @ b / 6.0 + 1.0) ** 3
+    e_xx = np.mean([k(xs[i], xs[j]) for i in range(10) for j in range(10)
+                    if i != j])
+    e_yy = np.mean([k(ys[i], ys[j]) for i in range(10) for j in range(10)
+                    if i != j])
+    e_xy = np.mean([k(xs[i], ys[j]) for i in range(10) for j in range(10)])
+    np.testing.assert_allclose(got, e_xx + e_yy - 2 * e_xy, rtol=1e-10)
+
+
+def test_kid_separates_distributions():
+    """Unbiased => ~0 for same-distribution pairs; clearly positive for
+    different distributions (the property that makes KID trustworthy at
+    small sample counts where FID is biased)."""
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((400, 16))
+    same = rng.standard_normal((400, 16))
+    diff = rng.standard_normal((400, 16)) * 2.0 + 1.0
+    kid_same, _ = fid.kernel_inception_distance(same, ref, n_subsets=20,
+                                                subset_size=100)
+    kid_diff, _ = fid.kernel_inception_distance(diff, ref, n_subsets=20,
+                                                subset_size=100)
+    assert abs(kid_same) < 0.05
+    assert kid_diff > 10 * abs(kid_same)
+
+
+def test_kid_through_evaluator_cache(tmp_path):
+    """save_reference_stats stores raw activations; compute() then reports
+    kid; a mu/sigma-only cache (reference npz layout) yields FID only."""
+    path = str(tmp_path / "stats.npz")
+    ev = fid.FIDEvaluator()
+    rng = np.random.default_rng(4)
+    imgs = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    ev.save_reference_stats(imgs, path)
+    assert ev.ref_acts is not None and ev.ref_acts.shape[0] == 8
+    ev2 = fid.FIDEvaluator(stats_cache=path)
+    res = ev2.compute(rng.uniform(0, 1, (6, 32, 32, 3)).astype(np.float32))
+    assert "kid" in res and np.isfinite(res["kid"][0])
+    # legacy cache without acts: no kid key
+    np.savez(str(tmp_path / "musig.npz"), mu=ev.ref_stats[0],
+             sigma=ev.ref_stats[1], feature_version=ev.feature_version)
+    ev3 = fid.FIDEvaluator(stats_cache=str(tmp_path / "musig.npz"))
+    res3 = ev3.compute(imgs[:4])
+    assert "fid" in res3 and "kid" not in res3
+
+
 def test_stats_cache_feature_version_guard(tmp_path):
     """Stats written by one feature network must be rejected by an
     evaluator using another (mixing feature spaces makes FID meaningless);

@@ -521,6 +521,8 @@ def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
            "IS_std": result["inception_score"][1]}
     if "fid" in result:
         out["FID"] = result["fid"]
+    if "kid" in result:
+        out["KID"], out["KID_std"] = result["kid"]
     if "warning" in result:
         # make the random-weights caveat impossible to miss: the numbers look
         # plausible but are NOT comparable to published FID/IS
