@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--size", type=int, default=200)
     p.add_argument("--hidden", type=int, default=16)
+    p.add_argument("--model", default="seg_unet",
+                   choices=["seg_unet", "legacy", "legacy3"],
+                   help="legacy/legacy3 = the challenge-winning Keras "
+                        "net's kernel-5/kernel-3 ensemble arms")
     p.add_argument("--out", default="runs/wmh_loo/loo_results.json")
     args = p.parse_args(argv)
 
@@ -52,13 +56,15 @@ def main(argv=None):
     print(f"{n_patients} synthetic patients, {images.shape[0]} slices "
           f"at {args.size}x{args.size}", flush=True)
 
-    cfg = loo.LOOConfig(hidden_channels=args.hidden, epochs=args.epochs)
+    cfg = loo.LOOConfig(model=args.model, hidden_channels=args.hidden,
+                        epochs=args.epochs)
     results = loo.leave_one_out(cfg, images, masks, slice_ranges=ranges,
                                 spacings=spacings)
 
     artifact = {
         "protocol": {"patients_48": args.patients_48,
                      "patients_83": args.patients_83,
+                     "model": args.model,
                      "size": args.size, "epochs": args.epochs,
                      "spacing_mm": {i: list(s)
                                     for i, s in enumerate(spacings)}},

@@ -19,6 +19,17 @@ def test_benchtime_measure_cpu():
     assert t >= 0.0
 
 
+def test_benchtime_measure_scalar_output():
+    """Scalar-returning fns (loss+grad probes) must not break the scan
+    carry dtype (_scalar_of once fell back to python-int 0 for 0-dim
+    outputs — the ablate_fno leg-1 failure)."""
+    def f(x):
+        return jnp.sum(x ** 2)     # 0-dim output
+    x = jnp.ones((8, 8))
+    t = benchtime.measure(f, (x,), n_iters=5, n_warmup=1)
+    assert t >= 0.0
+
+
 def test_timer_and_logger(tmp_path):
     with Timer() as t:
         sum(range(1000))

@@ -44,6 +44,7 @@ def patient_slice_ranges(n_site01: int = 40, n_site2: int = 20,
 
 @dataclasses.dataclass
 class LOOConfig:
+    model: str = "seg_unet"   # seg_unet | legacy (first-kernel 5) | legacy3
     hidden_channels: int = 16
     activation: str = "gelu"
     dwt_encoder: bool = False
@@ -54,11 +55,23 @@ class LOOConfig:
     seed: int = 0
 
 
+def build_loo_model(cfg: LOOConfig):
+    """``seg_unet`` = the modern Multi-ResNet-capable net (train_pt path);
+    ``legacy``/``legacy3`` = the challenge-winning Keras net's two
+    kernel-scale ensemble arms (``wmh/train_leave_one_out.py:56-113``)."""
+    if cfg.model == "seg_unet":
+        return WMHSegUnet(hidden_channels=cfg.hidden_channels,
+                          activation=cfg.activation,
+                          dwt_encoder=cfg.dwt_encoder)
+    if cfg.model in ("legacy", "legacy3"):
+        from unet_design_tpu.models.wmh_legacy import WMHLegacyUnet
+        return WMHLegacyUnet(first5=cfg.model == "legacy")
+    raise ValueError(f"unknown LOO model {cfg.model!r}")
+
+
 def train_one(cfg: LOOConfig, images: np.ndarray, masks: np.ndarray,
               rng: jax.Array):
-    model = WMHSegUnet(hidden_channels=cfg.hidden_channels,
-                       activation=cfg.activation,
-                       dwt_encoder=cfg.dwt_encoder)
+    model = build_loo_model(cfg)
     init_rng, rng = jax.random.split(rng)
     params = model.init(init_rng,
                         jnp.zeros((1, *images.shape[1:])))["params"]

@@ -22,9 +22,15 @@ import jax.numpy as jnp
 
 
 def _scalar_of(tree: Any) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return sum(jnp.sum(l[..., :1, :1]).astype(jnp.float32) for l in leaves
-               if hasattr(l, "ndim") and l.ndim >= 2)
+    """float32 scalar depending on every leaf (corner elements only, to
+    keep the dependency cheap).  Must ALWAYS return float32 — a python-int
+    0 fallback (e.g. scalar-returning fns) changes the scan carry dtype."""
+    total = jnp.float32(0.0)
+    for l in jax.tree_util.tree_leaves(tree):
+        if hasattr(l, "ndim"):
+            part = l[..., :1, :1] if l.ndim >= 2 else l
+            total = total + jnp.sum(part).astype(jnp.float32)
+    return total
 
 
 def make_repeated(fn: Callable, n_iters: int) -> Callable:
