@@ -102,6 +102,8 @@ def bench_train_step(name: str, use_bf16: bool, n_iters: int = 20,
            "steps_per_s": round(1.0 / t_step, 2),
            "params": common.param_count(params),
            "dtype": "bf16" if use_bf16 else "fp32"}
+    if batch_size != 8:
+        out["batch_size"] = batch_size
     if flops:
         out["tflops_per_s"] = round(flops / t_step / 1e12, 1)
         out["mfu_vs_bf16_peak"] = round(flops / t_step / PEAK_BF16, 3)
@@ -116,6 +118,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtypes", default="fp32,bf16",
                    help="which precisions to measure (fp32,bf16)")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="batch size; non-default sizes get a '@bs<N>' key "
+                        "suffix so the bs=8 protocol entries are preserved")
     p.add_argument("--skip-existing", action="store_true",
                    help="skip model/dtype keys that already have a "
                         "non-error entry in --out (resumable sweep)")
@@ -135,12 +140,15 @@ def main(argv=None):
     for name in names:
         for use_bf16 in [d == "bf16" for d in args.dtypes.split(",")]:
             key = f"{name}/{'bf16' if use_bf16 else 'fp32'}"
+            if args.batch_size != 8:
+                key += f"@bs{args.batch_size}"
             if args.skip_existing and "error" not in prior.get(
                     key, {"error": 1}):
                 print(key, "cached", flush=True)
                 continue
             try:
-                results[key] = bench_train_step(name, use_bf16, args.iters)
+                results[key] = bench_train_step(name, use_bf16, args.iters,
+                                                batch_size=args.batch_size)
                 print(key, json.dumps(results[key]), flush=True)
             except Exception as e:  # keep the sweep alive
                 results[key] = {"error": repr(e)[:300]}

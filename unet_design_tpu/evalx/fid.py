@@ -88,6 +88,11 @@ def kernel_inception_distance(acts1: np.ndarray, acts2: np.ndarray,
     m = min(subset_size, len(acts1), len(acts2))
     if m < 2:
         raise ValueError("KID needs at least 2 activations per set")
+    if m == len(acts1) and m == len(acts2):
+        # Every draw is a permutation of the full sets -> all n_subsets
+        # MMD^2 values are identical; compute one and report std=NaN
+        # (torch-fidelity sidesteps this by requiring subset_size <= n).
+        n_subsets = 1
     rng = np.random.RandomState(seed)
     scores = []
     for _ in range(n_subsets):
@@ -100,7 +105,8 @@ def kernel_inception_distance(acts1: np.ndarray, acts2: np.ndarray,
         e_xx = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
         e_yy = (kyy.sum() - np.trace(kyy)) / (m * (m - 1))
         scores.append(e_xx + e_yy - 2.0 * kxy.mean())
-    return float(np.mean(scores)), float(np.std(scores))
+    std = float(np.std(scores)) if len(scores) > 1 else float("nan")
+    return float(np.mean(scores)), std
 
 
 def inception_score_from_probs(probs: np.ndarray, splits: int = 10
@@ -194,7 +200,8 @@ class FIDEvaluator:
         if self.ref_stats is not None:
             mu, sigma = activation_statistics(acts)
             result["fid"] = frechet_distance(mu, sigma, *self.ref_stats)
-        if self.ref_acts is not None and len(acts) >= 2:
+        if (self.ref_acts is not None and len(acts) >= 2
+                and len(self.ref_acts) >= 2):
             result["kid"] = kernel_inception_distance(acts, self.ref_acts)
         if not self._have_weights:
             result["warning"] = ("random InceptionV3 weights - scores are "
