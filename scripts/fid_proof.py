@@ -232,7 +232,8 @@ def main(argv=None):
             # bench capture never has to contend with this process
             # (VERDICT r3 weak #1); every milestone is already persisted.
             stopped = [s for s in ("/tmp/r3_stop", "/tmp/r4_stop",
-                                   "/tmp/r5_stop") if os.path.exists(s)]
+                                   "/tmp/r4b_stop", "/tmp/r5_stop")
+                       if os.path.exists(s)]
             if stopped:
                 print(f"stop file {stopped[0]} — exiting before milestone "
                       f"{m} (resume with --resume to continue the curve)",

@@ -93,6 +93,119 @@ def test_spatial_partitioning_matches_single_device():
         g_ref, g_sh)
 
 
+def _conv(k, x):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _grad_ratios(loss, params, x, m):
+    """abs-mean ratio sharded/single-device per param leaf."""
+    g_ref = jax.grad(loss)(params, x)
+    xs = jax.device_put(
+        x, NamedSharding(m, P("data", "spatial", None, None)))
+    pr = mesh_lib.replicate(params, m)
+    g_sh = jax.jit(jax.grad(loss))(pr, xs)
+    out = {}
+    for name in g_ref:
+        a, b = np.asarray(g_ref[name]), np.asarray(g_sh[name])
+        if np.abs(a).mean() < 1e-12:
+            continue
+        out[name] = float(np.abs(b).mean() / np.abs(a).mean())
+    return out
+
+
+def test_gspmd_degenerate_spatial_grad_misreduction():
+    """Minimal repro of the measured XLA GSPMD mis-reduction
+    (docs/tpu_notes.md, docs/gspmd_issue_draft.md): a U-Net sub-structure
+    whose deepest level degenerates below 1 row per 'spatial' shard on a
+    data x spatial mesh gets its *upstream* parameter grads mis-scaled.
+    Trigger needs all three of: a conv AT the degenerate level, a
+    transposed-conv upsample, and a skip concat.
+
+    If a future jax/XLA upgrade fixes the partitioner this test will start
+    failing at the `bad` assert — then MIN_ROWS_PER_SPATIAL_SHARD and the
+    spatial_guard machinery can be retired.
+    """
+    m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    C, H = 4, 8
+    params = {
+        "c1": jax.random.normal(ks[0], (3, 3, C, C)) * 0.2,
+        "c3": jax.random.normal(ks[1], (3, 3, C, C)) * 0.2,
+        "ct": jax.random.normal(ks[2], (2, 2, C, C)) * 0.2,
+        "c4": jax.random.normal(ks[3], (3, 3, 2 * C, C)) * 0.2,
+    }
+    x = jax.random.normal(ks[4], (4, H, H, C))
+
+    def pool(v):
+        return jax.lax.reduce_window(
+            v, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def net(p, xx, constrain):
+        h2 = pool(_conv(p["c1"], xx))          # H/2: 4 rows, 2/shard
+        h3 = _conv(p["c3"], pool(h2))          # H/4: 2 rows, 1/shard
+        if constrain:                          # the workaround
+            h3 = jax.lax.with_sharding_constraint(
+                h3, NamedSharding(m, P("data", None, None, None)))
+        hu = jax.lax.conv_transpose(
+            h3, p["ct"], (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return _conv(p["c4"], jnp.concatenate([hu, h2], -1))
+
+    ratios = _grad_ratios(
+        lambda p, xx: jnp.mean(net(p, xx, False) ** 2), params, x, m)
+    bad = {k: r for k, r in ratios.items() if not 0.99 < r < 1.01}
+    if not bad:
+        pytest.skip("partitioner bug fixed upstream — the spatial floor "
+                    "and guard can be retired (see docstring)")
+    assert "c1" in bad, ratios   # upstream-of-skip conv grads mis-scale
+
+    fixed = _grad_ratios(
+        lambda p, xx: jnp.mean(net(p, xx, True) ** 2), params, x, m)
+    assert all(0.99 < r < 1.01 for r in fixed.values()), fixed
+
+
+@pytest.mark.parametrize("kw", [
+    dict(up_fct="interpolate_nearest"),
+    dict(up_fct="interpolate_nearest", dwt_encoder=True),
+    dict(up_fct="conv"),
+])
+def test_spatial_guard_lifts_resolution_floor(kw):
+    """With the per-level spatial_guard, the Unetbase_G grads at 32px on a
+    data=4 x spatial=2 mesh (below the unguarded MIN_ROWS floor) match the
+    single-device grads exactly."""
+    from unet_design_tpu.models import registry
+
+    m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
+    guard = mesh_lib.make_spatial_guard(m)
+    guarded = registry.build_model("Unetbase-64_G", 1, 1, 2, 1, "gelu",
+                                   hidden_channels=16, spatial_guard=guard,
+                                   **kw)
+    plain = registry.build_model("Unetbase-64_G", 1, 1, 2, 1, "gelu",
+                                 hidden_channels=16, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 32, 32, 3))
+    params = plain.init(jax.random.PRNGKey(1), x)["params"]
+
+    def loss(mdl):
+        return lambda p, xx: jnp.mean(mdl.apply({"params": p}, xx) ** 2)
+
+    g_ref = jax.grad(loss(plain))(params, x)
+    xs = mesh_lib.spatial_shard_batch(x, m)
+    pr = mesh_lib.replicate(params, m)
+    g_sh = jax.jit(jax.grad(loss(guarded)))(pr, xs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        g_ref, g_sh)
+
+
+def test_check_spatial_resolution_guarded_lifts_floor():
+    m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
+    with pytest.raises(ValueError):
+        mesh_lib.check_spatial_resolution(m, 32)
+    mesh_lib.check_spatial_resolution(m, 32, guarded=True)  # no raise
+
+
 @pytest.mark.parametrize("n", [8])
 def test_dryrun_multichip(n):
     import __graft_entry__

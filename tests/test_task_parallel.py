@@ -86,12 +86,27 @@ def test_pde_train_data_spatial_parallel(tmp_path):
 
 
 def test_pde_spatial_resolution_guard(tmp_path):
-    """32px / spatial=2 would leave 1 bottleneck row per shard — the mesh
-    layer must reject it (measured XLA partitioner grad mis-reduction)."""
+    """32px / spatial=2 leaves 1 bottleneck row per shard — for models
+    WITHOUT a spatial_guard hook the mesh layer must still reject it
+    (measured XLA partitioner grad mis-reduction, docs/gspmd_issue_draft.md).
+    """
     from unet_design_tpu.tasks import pde
     cfg = _pde_cfg(str(tmp_path), data=2, spatial=2)  # resolution 32
+    cfg.model.name = "Unetmod-64"   # no spatial_guard support
     with pytest.raises(ValueError, match="rows per shard"):
         pde.train(cfg)
+
+
+def test_pde_spatial_below_old_floor_guarded(tmp_path, pde_single):
+    """Unetbase-64_G carries the per-level spatial_guard, so the same
+    32px / spatial=2 config now trains — and matches the single-device
+    losses (the guard replicates degenerate levels instead of letting the
+    partitioner mis-reduce them; see test_parallel.py for the exact-grad
+    model-level check)."""
+    from unet_design_tpu.tasks import pde
+    d = str(tmp_path / "sp2_32px")
+    pde.train(_pde_cfg(d, data=2, spatial=2))
+    assert_close_series(pde_single, read_metrics(d), PDE_KEYS)
 
 
 def test_pde_host_stream_data_parallel(tmp_path, pde_single):

@@ -40,11 +40,16 @@ class Unetbase(nn.Module):
     hidden_channels: int = 64
     activation: str = "gelu"
     norm: bool = True
+    # per-level sharding-constraint hook (parallel/mesh.make_spatial_guard):
+    # lifts the grid-partitioning resolution floor by explicitly replicating
+    # levels that degenerate below 2 rows per 'spatial' shard
+    spatial_guard: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.hidden_channels
+        guard = self.spatial_guard or (lambda h: h)
         act_kw = dict(activation=self.activation, norm=self.norm,
                       dtype=self.dtype)
         x4 = common.collapse_time(x)
@@ -52,7 +57,7 @@ class Unetbase(nn.Module):
 
         skips = [h]
         for i, mult in enumerate((2, 4, 8, 16)):
-            d = nn.max_pool(skips[-1], (2, 2), strides=(2, 2))
+            d = guard(nn.max_pool(skips[-1], (2, 2), strides=(2, 2)))
             d = blocks.ConvBlock(c * mult, **act_kw, name=f"down_{i}")(d)
             skips.append(d)
 
@@ -61,6 +66,7 @@ class Unetbase(nn.Module):
             up = blocks.ConvTransposeUpsample(hcur.shape[-1] // 2, kernel=2,
                                               dtype=self.dtype,
                                               name=f"up_{i}_tconv")(hcur)
+            up = guard(up)
             hcur = jnp.concatenate([skips.pop(), up], axis=-1)
             hcur = blocks.ConvBlock(c * mult, **act_kw, name=f"up_{i}")(hcur)
 
@@ -103,6 +109,9 @@ class UnetbaseGCore(nn.Module):
     no_down_up: bool = False
     sigmoid_out: bool = False
     num_groups: int = 1
+    # sharding-constraint hook (parallel/mesh.make_spatial_guard); see
+    # Unetbase.spatial_guard
+    spatial_guard: Optional[Any] = None
     # Rematerialize each conv block in the backward pass (jax.checkpoint):
     # trades ~30% recompute for dropping intra-block activations — the same
     # knob the reference exposes as use_checkpoint on its DDPM U-Net
@@ -119,6 +128,7 @@ class UnetbaseGCore(nn.Module):
         n = self.n_levels if n_levels_used is None else n_levels_used
         assert 1 <= n <= self.n_levels
         c = self.hidden_channels
+        guard = self.spatial_guard or (lambda v: v)
         kw = dict(num_groups=self.num_groups, activation=self.activation,
                   dtype=self.dtype)
         partial_block = (nn.remat(blocks.PartialResnetConvBlock)
@@ -162,10 +172,10 @@ class UnetbaseGCore(nn.Module):
         for i in range(entry, self.n_levels):
             if self.dwt_encoder:
                 octaves = 0 if self.no_down_up else 1
-                h = wavelet.dwt_block(h, octaves, down_out[i])
+                h = guard(wavelet.dwt_block(h, octaves, down_out[i]))
             else:
                 if not self.no_down_up:
-                    h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                    h = guard(nn.avg_pool(h, (2, 2), strides=(2, 2)))
                 h = partial_block(down_out[i], **kw, name=f"down_{i}")(h)
             if i != self.n_levels - 1:
                 skips.append(h)
@@ -188,7 +198,7 @@ class UnetbaseGCore(nn.Module):
                     up = blocks.nearest_upsample(up, 2)
             else:
                 raise NotImplementedError(self.up_fct)
-            up = _match_spatial(up, s.shape[1:3])
+            up = guard(_match_spatial(up, s.shape[1:3]))
             if self.no_skip_connection:
                 s = jnp.zeros_like(s)
             h = jnp.concatenate([s, up], axis=-1)
@@ -218,6 +228,7 @@ class UnetbaseG(nn.Module):
     no_down_up: bool = False
     remat: bool = False
     time_future: int = 1
+    spatial_guard: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     n_levels: int = 4
@@ -237,6 +248,7 @@ class UnetbaseG(nn.Module):
             no_skip_connection=self.no_skip_connection,
             no_down_up=self.no_down_up,
             remat=self.remat,
+            spatial_guard=self.spatial_guard,
             dtype=self.dtype,
             name="core")(x4, n_levels_used=n_levels_used)
         if self.multi_res_loss:
@@ -258,6 +270,7 @@ class WMHSegUnet(nn.Module):
     no_skip_connection: bool = False
     no_down_up: bool = False
     remat: bool = False
+    spatial_guard: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     n_levels: int = 4
@@ -277,5 +290,6 @@ class WMHSegUnet(nn.Module):
             no_down_up=self.no_down_up,
             remat=self.remat,
             sigmoid_out=True,
+            spatial_guard=self.spatial_guard,
             dtype=self.dtype,
             name="core")(x, n_levels_used=n_levels_used)

@@ -127,15 +127,72 @@ def check_batch_divisible(mesh: Optional[Mesh], batch_size: int,
 MIN_ROWS_PER_SPATIAL_SHARD = 32
 
 
+def make_spatial_guard(mesh: Mesh, batch_axis: int = 0, h_axis: int = 1,
+                       min_rows_per_shard: int = 4):
+    """Per-level sharding-constraint hook that lifts the
+    :data:`MIN_ROWS_PER_SPATIAL_SHARD` floor for models that apply it.
+
+    The measured GSPMD mis-reduction (docs/tpu_notes.md, minimal repro in
+    ``tests/test_parallel.py::test_gspmd_degenerate_spatial_grad_misreduction``)
+    happens when a U-Net level whose feature map has < ``min_rows_per_shard``
+    rows per 'spatial' shard carries spatial ops (conv / pooled skip reuse):
+    the partitioner replicates the level across 'data' but still psums its
+    parameter grads over 'data', scaling them by exactly the data-axis size.
+
+    The fix is to make the degenerate level's sharding explicit: replicate
+    it over 'spatial' (keeping the 'data' batch sharding) *before* its ops
+    run, and re-assert 'spatial' sharding once the extent is safe again on
+    the way up.  Replicating tiny bottleneck maps is also the right perf
+    call: their halo exchanges cost more than their FLOPs.
+
+    ``min_rows_per_shard=4`` is measured, not theoretical: replicating only
+    the < 2 rows/shard levels still mis-reduces (the sharded->replicated
+    transition itself must sit at a level with >= 4 rows/shard; verified
+    exact-grad-match at 4 on Unetbase/Unetbase_G topologies, still-broken
+    at 2 — see test_parallel.py).  A level at 2 rows/shard is only safe
+    when nothing below it degenerates (the old 64px-input case behind
+    MIN_ROWS_PER_SPATIAL_SHARD).
+
+    Returns ``guard(h) -> h`` for NHWC feature maps, or ``None`` when the
+    mesh has no 'spatial' axis (so callers can pass it straight to the
+    model's ``spatial_guard`` field).
+    """
+    n_sp = mesh.shape.get("spatial", 1)
+    if n_sp <= 1:
+        return None
+    has_data = "data" in mesh.shape
+
+    def guard(h):
+        spec = [None] * h.ndim
+        # batch-1 paths (sample plots, single-item validators) cannot carry
+        # the 'data' sharding — leave any non-divisible axis unsharded
+        if has_data and h.shape[batch_axis] % mesh.shape["data"] == 0:
+            spec[batch_axis] = "data"
+        rows = h.shape[h_axis]
+        if rows % n_sp == 0 and rows // n_sp >= min_rows_per_shard:
+            spec[h_axis] = "spatial"
+        return jax.lax.with_sharding_constraint(
+            h, NamedSharding(mesh, P(*spec)))
+
+    return guard
+
+
 def check_spatial_resolution(mesh: Optional[Mesh], resolution: int,
-                             what: str = "resolution") -> None:
+                             what: str = "resolution",
+                             guarded: bool = False) -> None:
     """Refuse spatial shardings that drop below the safe per-shard extent
     (see :data:`MIN_ROWS_PER_SPATIAL_SHARD`).  ``resolution`` should be the
     smallest field height the run will train at (staged/sequ drivers pass
-    their most-downsampled stage resolution)."""
+    their most-downsampled stage resolution).  With ``guarded=True`` (the
+    model applies a :func:`make_spatial_guard` hook at every level
+    transition) the floor is lifted: degenerate levels are explicitly
+    replicated instead of mis-partitioned, so any input that divides the
+    'spatial' axis is safe."""
     if mesh is None:
         return
     n_sp = mesh.shape.get("spatial", 1)
+    if guarded:
+        return
     if n_sp > 1 and resolution // n_sp < MIN_ROWS_PER_SPATIAL_SHARD:
         raise ValueError(
             f"parallel.spatial={n_sp} leaves {resolution // n_sp} rows per "

@@ -158,7 +158,16 @@ def pde_config(cfg: DataConfig) -> pde_data.PDEDataConfig:
                                   cfg.n_vector_components, cfg.trajlen, 2)
 
 
-def build_model(cfg: Config):
+def supports_spatial_guard(name: str) -> bool:
+    """True when the registry model has a ``spatial_guard`` field, i.e. it
+    applies the per-level sharding-constraint hook that lifts the grid
+    partitioning resolution floor (parallel/mesh.make_spatial_guard)."""
+    spec = registry.MODEL_REGISTRY.get(name)
+    return spec is not None and "spatial_guard" in getattr(
+        spec["cls"], "__dataclass_fields__", {})
+
+
+def build_model(cfg: Config, mesh=None):
     mc = cfg.model
     overrides = dict(hidden_channels=mc.hidden_channels,
                      dtype=jnp.bfloat16 if mc.use_bf16 else jnp.float32)
@@ -169,6 +178,9 @@ def build_model(cfg: Config):
                          sequ_mode=True,
                          no_skip_connection=mc.no_skip_connection,
                          no_down_up=mc.no_down_up, remat=mc.remat)
+    if (mesh is not None and mesh.shape.get("spatial", 1) > 1
+            and supports_spatial_guard(mc.name)):
+        overrides["spatial_guard"] = mesh_lib.make_spatial_guard(mesh)
     return registry.build_model(
         mc.name, cfg.data.n_scalar_components, cfg.data.n_vector_components,
         cfg.data.time_history, cfg.data.time_future, mc.activation,
@@ -238,11 +250,12 @@ def train(cfg: Config):
         mesh_lib.check_spatial_resolution(
             mesh,
             cfg.data.resolution >> (len(cfg.train.num_epochs_list) - 1),
-            "smallest stage resolution")
+            "smallest stage resolution",
+            guarded=supports_spatial_guard(cfg.model.name))
         log.info("Mesh parallelism: %s", dict(mesh.shape))
     rng = jax.random.PRNGKey(cfg.train.seed)
     pde = pde_config(cfg.data)
-    model = build_model(cfg)
+    model = build_model(cfg, mesh)
     g_model = is_g_model(cfg.model.name)
     n_levels = getattr(model, "n_levels", None)
     sequ = len(cfg.train.num_epochs_list) > 1

@@ -111,11 +111,12 @@ def train(cfg: Config):
     if mesh is not None:
         mesh_lib.check_batch_divisible(mesh, cfg.data.batch_size,
                                        "data.batch_size")
-        # staged (sequ) runs train the first stage most-downsampled
+        # staged (sequ) runs train the first stage most-downsampled;
+        # WMHSegUnet carries the spatial_guard, so the floor is lifted
         mesh_lib.check_spatial_resolution(
             mesh,
             cfg.data.resolution >> (len(cfg.train.num_epochs_list) - 1),
-            "smallest stage resolution")
+            "smallest stage resolution", guarded=True)
         log.info("Mesh parallelism: %s", dict(mesh.shape))
     rng = jax.random.PRNGKey(cfg.train.seed)
     (tr_x, tr_y), (va_x, va_y), (te_x, te_y) = load_data(cfg.data)
@@ -129,6 +130,8 @@ def train(cfg: Config):
         sequ_mode=len(cfg.train.num_epochs_list) > 1,
         no_skip_connection=cfg.model.no_skip_connection,
         no_down_up=cfg.model.no_down_up, remat=cfg.model.remat,
+        spatial_guard=(mesh_lib.make_spatial_guard(mesh)
+                       if mesh is not None else None),
         dtype=jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
     n_levels = model.n_levels
     sequ = len(cfg.train.num_epochs_list) > 1
