@@ -199,6 +199,34 @@ def test_spatial_guard_lifts_resolution_floor(kw):
         g_ref, g_sh)
 
 
+def test_spatial_guard_modern_unet(tmp_path):
+    """ModernUnet (Unetmod) also carries the guard: at 16px its 8x encoder
+    bottoms out at 2 rows (1 row/shard at spatial=2, below the safe
+    extent); guarded grads must match single-device."""
+    from unet_design_tpu.models import registry
+
+    m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
+    guard = mesh_lib.make_spatial_guard(m)
+    guarded = registry.build_model("Unetmod-64", 1, 1, 2, 1, "gelu",
+                                   hidden_channels=16, spatial_guard=guard)
+    plain = registry.build_model("Unetmod-64", 1, 1, 2, 1, "gelu",
+                                 hidden_channels=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 16, 16, 3))
+    params = plain.init(jax.random.PRNGKey(1), x)["params"]
+
+    def loss(mdl):
+        return lambda p, xx: jnp.mean(mdl.apply({"params": p}, xx) ** 2)
+
+    g_ref = jax.grad(loss(plain))(params, x)
+    xs = mesh_lib.spatial_shard_batch(x, m)
+    pr = mesh_lib.replicate(params, m)
+    g_sh = jax.jit(jax.grad(loss(guarded)))(pr, xs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        g_ref, g_sh)
+
+
 def test_check_spatial_resolution_guarded_lifts_floor():
     m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
     with pytest.raises(ValueError):

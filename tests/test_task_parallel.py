@@ -92,7 +92,7 @@ def test_pde_spatial_resolution_guard(tmp_path):
     """
     from unet_design_tpu.tasks import pde
     cfg = _pde_cfg(str(tmp_path), data=2, spatial=2)  # resolution 32
-    cfg.model.name = "Unetmod-64"   # no spatial_guard support
+    cfg.model.name = "Unet2015-64"   # no spatial_guard support
     with pytest.raises(ValueError, match="rows per shard"):
         pde.train(cfg)
 

@@ -86,10 +86,15 @@ class ModernUnet(nn.Module):
     # 'keys' = standard attention (default); 'queries' = the reference's
     # softmax(dim=1) over queries (twod_unet.py:170) for exact parity
     attn_softmax_axis: str = "keys"
+    # per-level sharding-constraint hook (parallel/mesh.make_spatial_guard):
+    # lifts the grid-partitioning resolution floor by explicitly replicating
+    # levels that degenerate below the safe rows-per-'spatial'-shard extent
+    spatial_guard: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        guard = self.spatial_guard or (lambda v: v)
         act = blocks.get_activation(self.activation)
         n_res = len(self.ch_mults)
         nc = self.hidden_channels
@@ -124,9 +129,9 @@ class ModernUnet(nn.Module):
             if i < n_res - 1:
                 # (1,1) padding matches torch Conv2d(3, stride=2, padding=1)
                 # alignment ('SAME' would pad (0,1) on even inputs)
-                h = nn.Conv(in_ch, (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), dtype=self.dtype,
-                            name=f"downsample_{i}")(h)
+                h = guard(nn.Conv(in_ch, (3, 3), strides=(2, 2),
+                                  padding=((1, 1), (1, 1)), dtype=self.dtype,
+                                  name=f"downsample_{i}")(h))
                 hs.append(h)
 
         # middle
@@ -171,9 +176,9 @@ class ModernUnet(nn.Module):
             bidx += 1
             in_ch = out_ch
             if i > 0:
-                h = blocks.ConvTransposeUpsample(in_ch, kernel=4,
-                                                 dtype=self.dtype,
-                                                 name=f"upsample_{i}")(h)
+                h = guard(blocks.ConvTransposeUpsample(
+                    in_ch, kernel=4, dtype=self.dtype,
+                    name=f"upsample_{i}")(h))
         assert not hs
 
         if self.norm:
