@@ -16,7 +16,7 @@
 # Usage: bash scripts/run_round4b_tpu.sh [DEADLINE_S]
 set -u
 cd "$(dirname "$0")/.."
-DEADLINE=${1:-18000}
+DEADLINE=${1:-16500}
 START=$(date +%s)
 left() { echo $(( DEADLINE - ( $(date +%s) - START ) )); }
 halt() { [ -f /tmp/r4b_stop ] && { echo "STOP FILE — exiting"; exit 0; }; return 0; }
@@ -86,13 +86,13 @@ python scripts/fid_proof.py --milestones 3000,12000,25000,50000 \
 cp runs/fid_proof_r4/fid_proof.json docs/fid_proof.json 2>/dev/null || true
 cp runs/fid_proof_r4/fid_proof.json docs/fid_proof_kid.json 2>/dev/null || true
 
-# ---- Leg 2: seed-2 dwt_dec arm (the "winning" arm)
-if [ "$(left)" -gt 7200 ]; then
+# ---- Leg 2: seed-2 dwt_dec arm (the "winning" arm; ~60-70 min measured)
+if [ "$(left)" -gt 4500 ]; then
   run_arm 2 dwt_dec || echo "ARM s2_dwt_dec FAILED" >&2
 fi
 
 # ---- Leg 3: seed-2 dwt arm if time allows
-if [ "$(left)" -gt 7200 ]; then
+if [ "$(left)" -gt 4500 ]; then
   run_arm 2 dwt || echo "ARM s2_dwt FAILED" >&2
 fi
 summary
