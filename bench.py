@@ -43,7 +43,7 @@ def _drain_chains(deadline_s: float = 2700.0) -> None:
     if not _chain_pids():
         return
     for stop in ("/tmp/r3_stop", "/tmp/r4_stop", "/tmp/r4b_stop",
-                 "/tmp/r5_stop"):
+                 "/tmp/r4c_stop", "/tmp/r5_stop"):
         try:
             with open(stop, "w") as f:
                 f.write("bench.py drain request\n")
