@@ -97,7 +97,7 @@ def main(argv=None):
         except ValueError:
             pass
     if need_stats:
-        evaluator = FIDEvaluator(stats_cache=None)
+        evaluator = FIDEvaluator(stats_cache=None, batch_size=100)
         evaluator.save_reference_stats(
             ((data + 1.0) / 2.0)[:args.dataset_size], stats_path)
         print("dataset stats saved:", stats_path, flush=True)

@@ -515,7 +515,11 @@ def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
 
     fid_vars = (load_fid_params(cfg.train.fid_weights)
                 if cfg.train.fid_weights else None)
-    evaluator = FIDEvaluator(fid_vars, cfg.train.fid_stats_cache)
+    # batch 100 halves the tunnel round-trips vs the reference's 50; the
+    # scores are batch-size-independent (Inception BatchNorm runs on fixed
+    # inference statistics)
+    evaluator = FIDEvaluator(fid_vars, cfg.train.fid_stats_cache,
+                             batch_size=100)
     result = evaluator.compute(images)
     out = {"IS": result["inception_score"][0],
            "IS_std": result["inception_score"][1]}
