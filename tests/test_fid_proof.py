@@ -89,7 +89,7 @@ def _install(monkeypatch, world, tmp_path):
     monkeypatch.setattr(ckpt_mod, "CheckpointManager", FakeCkptMgr)
 
     class FakeFID:
-        def __init__(self, stats_cache=None):
+        def __init__(self, stats_cache=None, batch_size=50):
             pass
 
         def save_reference_stats(self, images, path):
