@@ -102,6 +102,26 @@ def main(argv=None):
             cells.append("-" if s is None else
                          f"{s['mean']:.3e} +/- {s['std']:.1e}")
         lines.append(f"| {label} | {n} | " + " | ".join(cells) + " |")
+    # Headline-ordering statement (the claim the table exists to check:
+    # "DWT matches classical, extra-decoder wins" — reference README §5.1).
+    # Stated per metric with a seed-std-based qualifier, never silently.
+    lines += ["", "## Ordering vs the paper's claim", ""]
+    for key, name in KEYS:
+        avail = [(label, stats[key]) for label, stats, _ in rows
+                 if key in stats]
+        if len(avail) < 2:
+            continue
+        order = sorted(avail, key=lambda kv: kv[1]["mean"])
+        desc = " < ".join(label for label, _ in order)
+        spread = max(s["mean"] for _, s in avail) - min(s["mean"]
+                                                        for _, s in avail)
+        maxstd = max(s["std"] for _, s in avail)
+        qual = ("separations exceed the largest per-arm seed std"
+                if maxstd and spread > maxstd else
+                ("single-seed arms present — no error bars yet"
+                 if any(s["n_seeds"] < 2 for _, s in avail) else
+                 "within seed noise (spread <= per-arm std)"))
+        lines.append(f"- {name}: {desc}  ({qual})")
     lines += ["", "Per-seed values:", ""]
     for label, stats, _n in rows:
         lines.append(f"- **{label}**:")
