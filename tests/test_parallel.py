@@ -227,6 +227,26 @@ def test_spatial_guard_modern_unet(tmp_path):
         g_ref, g_sh)
 
 
+def test_make_spatial_guard_specs():
+    """Spec selection: shard only axes the shape divides, replicate levels
+    below the safe rows-per-shard extent (incl. odd non-dyadic rows, the
+    WMH 200->25->13 chain)."""
+    m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
+    guard = mesh_lib.make_spatial_guard(m)
+    cases = [
+        ((8, 64, 64, 4), P("data", "spatial", None, None)),
+        ((8, 2, 2, 4), P("data", None, None, None)),    # degenerate level
+        ((8, 25, 25, 4), P("data", None, None, None)),  # odd rows
+        ((1, 64, 64, 4), P(None, "spatial", None, None)),  # batch-1 path
+    ]
+    for shape, want in cases:
+        out = guard(jnp.zeros(shape))
+        assert out.sharding.spec == want, (shape, out.sharding.spec, want)
+    # no 'spatial' axis -> no hook (callers pass None to the model)
+    assert mesh_lib.make_spatial_guard(
+        mesh_lib.make_mesh(data=8, model=1)) is None
+
+
 def test_check_spatial_resolution_guarded_lifts_floor():
     m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
     with pytest.raises(ValueError):
