@@ -34,16 +34,26 @@ def _chain_pids() -> list:
         return []
 
 
+_STOP_FILES = ("/tmp/r3_stop", "/tmp/r4_stop", "/tmp/r4b_stop",
+               "/tmp/r4c_stop", "/tmp/r5_stop")
+
+
 def _drain_chains(deadline_s: float = 2700.0) -> None:
     """VERDICT r3 weak #1: the round-3 bench capture timed out because a
     builder chain still held the single TPU.  Defend the capture: ask any
     chain to stop at its next leg boundary (they all honor the stop files)
     and wait — legs are individually bounded, so draining beats contending.
+
+    The files are marked with bench.py's own content so ``_cleanup_stops``
+    can remove exactly them after the measurement (ADVICE r4: leaked stop
+    files made every later chain exit at its first ``halt`` and wedged
+    resume loops); files that already existed are left alone.
     """
     if not _chain_pids():
         return
-    for stop in ("/tmp/r3_stop", "/tmp/r4_stop", "/tmp/r4b_stop",
-                 "/tmp/r4c_stop", "/tmp/r5_stop"):
+    for stop in _STOP_FILES:
+        if os.path.exists(stop):
+            continue  # not ours; leave it for whoever made it
         try:
             with open(stop, "w") as f:
                 f.write("bench.py drain request\n")
@@ -54,6 +64,20 @@ def _drain_chains(deadline_s: float = 2700.0) -> None:
         print(f"# waiting for TPU chain to drain "
               f"({int(time.time() - t0)}s)", flush=True)
         time.sleep(30)
+
+
+def _cleanup_stops() -> None:
+    """Remove stop files that bench.py itself wrote (identified by their
+    marker content — robust across the UNAVAILABLE re-exec path, where the
+    ``created`` list of the first process is gone).  Files written by a user
+    or a chain script carry different content and are left alone."""
+    for stop in _STOP_FILES:
+        try:
+            with open(stop) as f:
+                if f.read().startswith("bench.py drain request"):
+                    os.remove(stop)
+        except OSError:
+            pass
 
 
 def _measure() -> float:
@@ -87,12 +111,16 @@ def main() -> None:
         elapsed = _measure()
     except Exception as e:  # jaxlib runtime errors don't share one type
         if attempt >= 3 or "UNAVAILABLE" not in str(e):
+            _cleanup_stops()
             raise
         print(f"# transient backend error (attempt {attempt + 1}), "
               f"re-exec in 5 min: {str(e)[:120]}", flush=True)
         time.sleep(300)
         os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+        # NOT cleaned up here: the re-exec'ed process recognizes its own
+        # marker files and removes them when it finishes.
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    _cleanup_stops()
 
     baseline_s = 0.021  # V100-16GB, pdearena/docs/modelzoo.md:44
     print(json.dumps({

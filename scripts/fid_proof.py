@@ -226,6 +226,9 @@ def main(argv=None):
         ckpt = CheckpointManager(os.path.join(args.logdir, "ckpt"))
         cfg.train.resume = args.resume
         after = before
+        scored_any = False  # ADVICE r4: never rewrite the artifact's
+        # trained numbers from `before` when every milestone was skipped
+        # (stop file at entry / fully-recorded resume rerun)
         total_steps = 0
         for m in milestones:
             # honor the chain stop files between milestones so a round-end
@@ -277,8 +280,13 @@ def main(argv=None):
                 kcurve[str(m)] = after["KID"]
             print(f"FID at {m} steps:", json.dumps(after), flush=True)
             total_steps = m
+            scored_any = True
             write_artifact(after, m)  # crash-safe: persist each point
         total_steps = total_steps or (ckpt.latest_step() or 0)
+        if not scored_any:
+            print("no milestone scored this run; artifact left untouched",
+                  flush=True)
+            return
     print("FID after training:", json.dumps(after), flush=True)
 
     out = write_artifact(after, total_steps)

@@ -90,8 +90,10 @@ def kernel_inception_distance(acts1: np.ndarray, acts2: np.ndarray,
         raise ValueError("KID needs at least 2 activations per set")
     if m == len(acts1) and m == len(acts2):
         # Every draw is a permutation of the full sets -> all n_subsets
-        # MMD^2 values are identical; compute one and report std=NaN
-        # (torch-fidelity sidesteps this by requiring subset_size <= n).
+        # MMD^2 values are identical; compute one and report std=0.0
+        # (torch-fidelity sidesteps this by requiring subset_size <= n;
+        # NaN here would leak a bare `NaN` literal into json.dump output,
+        # which strict JSON parsers reject — ADVICE r4).
         n_subsets = 1
     rng = np.random.RandomState(seed)
     scores = []
@@ -105,7 +107,7 @@ def kernel_inception_distance(acts1: np.ndarray, acts2: np.ndarray,
         e_xx = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
         e_yy = (kyy.sum() - np.trace(kyy)) / (m * (m - 1))
         scores.append(e_xx + e_yy - 2.0 * kxy.mean())
-    std = float(np.std(scores)) if len(scores) > 1 else float("nan")
+    std = float(np.std(scores)) if len(scores) > 1 else 0.0
     return float(np.mean(scores)), std
 
 
