@@ -38,6 +38,11 @@ class ParallelConfig:
     data: int = 1        # batch-axis sharding (DP; the reference's only mode)
     model: int = 1       # output-channel tensor parallelism (beyond ref)
     spatial: int = 1     # grid partitioning of the field H dim (beyond ref)
+    # smallest output-channel dim sharded over 'model' (kernels narrower
+    # than this replicate — sharding tiny convs costs more in collectives
+    # than it saves); lower it for narrow test/dryrun models so tensor
+    # parallelism actually exercises the conv kernels
+    tp_min_channels: int = 128
     # multi-process (one process per host): jax.distributed.initialize args
     coordinator_address: str = ""
     num_processes: int = 1

@@ -309,7 +309,8 @@ def train(cfg: Config):
                 "step": state.step}))
         # mesh placement: params/EMA/opt-moments TP-sharded over 'model'
         # (plain replication when model=1), scalars/rng replicated
-        state = mesh_lib.place_state(state, mesh)
+        state = mesh_lib.place_state(
+            state, mesh, min_channels=cfg.parallel.tp_min_channels)
 
         def loss_fn(p, step_rng, batch, n=n, stage=stage):
             def model_fn(x, t, nl):
@@ -494,7 +495,8 @@ def evaluate(cfg: Config, model, params, sch, rng, n_levels_used: int,
     num_images = num_images or cfg.train.num_eval_images
     sampler = make_sampler(cfg, model, sch, n_levels_used)
     if mesh is not None:
-        params = mesh_lib.place_state(params, mesh)
+        params = mesh_lib.place_state(
+            params, mesh, min_channels=cfg.parallel.tp_min_channels)
         batch_size = max((batch_size // mesh.shape["data"])
                          * mesh.shape["data"], mesh.shape["data"])
     images = []

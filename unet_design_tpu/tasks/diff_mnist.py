@@ -302,7 +302,8 @@ def train(cfg: Config):
                 "rng": state.rng, "step": state.step}))
         # mesh placement: params/opt-moments TP-sharded over 'model'
         # (plain replication when model=1), scalars/rng replicated
-        state = mesh_lib.place_state(state, mesh)
+        state = mesh_lib.place_state(
+            state, mesh, min_channels=cfg.parallel.tp_min_channels)
 
         stage_kw = dict(stage=stage.index, n_stages=stage.n_stages) \
             if cfg.diffusion.staged_partitioned_time_intervals and sequ \

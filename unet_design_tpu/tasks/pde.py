@@ -410,7 +410,8 @@ def train(cfg: Config):
             resume_state_raw = None
             # mesh placement: params/opt-moments TP-sharded over 'model'
             # (replication when model=1), scalars/rng replicated
-            state = mesh_lib.place_state(state, mesh)
+            state = mesh_lib.place_state(
+                state, mesh, min_channels=cfg.parallel.tp_min_channels)
 
             has_mstate = bool(model_state)
 

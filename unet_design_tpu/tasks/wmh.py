@@ -204,7 +204,8 @@ def train(cfg: Config):
                     step=restored["step"])
             resume_state_raw = None
             # mesh placement (replication for data-parallel; TP when model>1)
-            state = mesh_lib.place_state(state, mesh)
+            state = mesh_lib.place_state(
+                state, mesh, min_channels=cfg.parallel.tp_min_channels)
 
             def loss_fn(p, step_rng, batch, n=n, nd=n_downsample):
                 x, y = batch
