@@ -150,10 +150,14 @@ for arm in classical dwt dwt_dec; do
 done
 ns_summary
 
-# ---- Leg 5: staged CIFAR FID/KID milestones (VERDICT #4; opportunistic)
+# ---- Leg 5: staged CIFAR FID/KID milestones (VERDICT #4; opportunistic).
+# 4 stages so the 4-level model reaches full 32px resolution
+# (reference flagship: NUM_ITERATIONS_LIST 50000 50000 50000 1500003,
+# README.md:203); total 25k steps matches the single-stage 25k point of
+# runs/fid_proof_r4 for a matched-total-steps comparison.
 if [ "$(left)" -gt 7200 ]; then
   halt; probe || exit 1
-  python scripts/fid_proof.py --stages 5000,5000,15000 --images 10000 \
+  python scripts/fid_proof.py --stages 3000,3000,4000,15000 --images 10000 \
       --dataset-size 10000 --logdir runs/fid_staged_r5 \
       || echo "STAGED FID LEG FAILED" >&2
   cp runs/fid_staged_r5/fid_proof.json docs/fid_staged.json 2>/dev/null || true
