@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-5 tail chain: waits for run_round5_tpu.sh, then uses whatever
+# round time remains on the staged-CIFAR evidence (VERDICT r4 #4) at a
+# REDUCED total chosen for a matched-steps comparison: stages
+# [1500,1500,2000,7000] sum to 12000 steps, directly comparable to the
+# single-stage 12000-step point already on the r4 milestone curve
+# (docs/fid_proof.json: FID 159.9 / KID 1.300 at 10k images).  Every
+# milestone persists crash-safe, so a round-end cutoff still leaves a
+# partial staged curve.
+#
+# Usage: bash scripts/run_round5b_tpu.sh [DEADLINE_S]
+set -u
+cd "$(dirname "$0")/.."
+DEADLINE=${1:-28200}
+START=$(date +%s)
+left() { echo $(( DEADLINE - ( $(date +%s) - START ) )); }
+halt() { [ -f /tmp/r5_stop ] && { echo "STOP FILE — exiting"; exit 0; }; return 0; }
+
+cat > /tmp/tpu_probe_r5b.py <<'EOF'
+import jax, jax.numpy as jnp
+print(float(jnp.ones((8, 8)).sum()), jax.devices())
+EOF
+probe() {
+  for i in $(seq 1 40); do
+    if timeout 350 python /tmp/tpu_probe_r5b.py > /dev/null 2>&1; then return 0; fi
+    echo "probe failed ($i), retrying in 60s" >&2; sleep 60
+  done
+  return 1
+}
+
+set -x
+
+# ---- Leg 0: wait for the main chain (ONE TPU process at a time;
+#      bracketed pattern: no self-match)
+while pgrep -f '[r]un_round5_tpu' > /dev/null; do sleep 60; done
+# NOTE: deliberately does NOT rm /tmp/r5_stop here — if the user or
+# bench.py stopped the main chain, this tail must stay stopped too.
+
+# ---- Leg 1: staged CIFAR FID/KID milestones at matched 12k total steps.
+# If the main chain's own (25k-schedule) staged leg already started this
+# logdir, keep ITS schedule and resume it — mixing stage lists in one run
+# directory would corrupt the stage boundaries.
+STAGES=1500,1500,2000,7000
+[ -d runs/fid_staged_r5/ckpt ] && STAGES=3000,3000,4000,15000
+if [ "$(left)" -gt 1200 ]; then
+  halt; probe || exit 1
+  python scripts/fid_proof.py --stages $STAGES --resume --images 10000 \
+      --dataset-size 10000 --logdir runs/fid_staged_r5 \
+      || echo "STAGED FID LEG FAILED" >&2
+  cp runs/fid_staged_r5/fid_proof.json docs/fid_staged.json 2>/dev/null || true
+fi
+
+echo R5B_CHAIN_DONE
