@@ -23,15 +23,29 @@ import sys
 import time
 
 
+_TPU_JOB_PATTERNS = (
+    "[r]un_round.*_tpu.sh",       # chain scripts
+    "[f]id_proof.py",             # directly-launched FID/staged legs
+    "[u]net_design_tpu.tasks.",   # directly-launched trainers
+    "[e]val_pde.py",              # directly-launched evals
+    "[g]enerate_data.py",         # datagen legs
+)
+
+
 def _chain_pids() -> list:
-    """PIDs of any still-running run_round*_tpu.sh chain (bracketed pattern:
-    pgrep -f would otherwise self-match this process's command line)."""
-    try:
-        out = subprocess.run(["pgrep", "-f", "[r]un_round.*_tpu.sh"],
-                             capture_output=True, text=True).stdout
-        return [int(p) for p in out.split()]
-    except Exception:
-        return []
+    """PIDs of any still-running TPU-holding job (chain script or a
+    directly-launched leg — round 5 launched fid_proof.py without a chain
+    wrapper and the old run_round-only pattern missed it).  Bracketed
+    patterns: pgrep -f would otherwise self-match the invoking shell."""
+    pids = []
+    for pat in _TPU_JOB_PATTERNS:
+        try:
+            out = subprocess.run(["pgrep", "-f", pat],
+                                 capture_output=True, text=True).stdout
+            pids.extend(int(p) for p in out.split())
+        except Exception:
+            pass
+    return pids
 
 
 _STOP_FILES = ("/tmp/r3_stop", "/tmp/r4_stop", "/tmp/r4b_stop",

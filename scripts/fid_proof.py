@@ -108,7 +108,10 @@ def main(argv=None):
     else:
         data, _ = image_data.synthetic_cifar10(cfg.data.synthetic_size)
     need_stats = True
-    if (args.eval_only or args.rescore) and os.path.exists(stats_path):
+    if ((args.eval_only or args.rescore or args.resume)
+            and os.path.exists(stats_path)):
+        # same-run continuations (identical args by contract) reuse the
+        # ~minutes-long Inception pass over the dataset
         try:  # reuse only same-feature-space stats
             FIDEvaluator(stats_cache=stats_path)
             need_stats = False
@@ -137,6 +140,7 @@ def main(argv=None):
     # (eval-only or resume); a fresh run in a reused logdir must not inherit
     # another model/config's numbers.
     continuing = args.eval_only or args.resume or args.rescore
+    before_path = os.path.join(args.logdir, "fid_before.json")
     before = None
     if continuing and os.path.exists(proof_path):
         with open(proof_path) as f:
@@ -146,12 +150,21 @@ def main(argv=None):
                       "IS": prev.get("is_untrained"),
                       "KID": prev.get("kid_untrained")}
             print("reusing untrained FID from", proof_path, flush=True)
+    if before is None and continuing and os.path.exists(before_path):
+        # persisted right after the untrained eval, so a stop/relaunch
+        # before the first milestone doesn't re-sample the init model
+        with open(before_path) as f:
+            before = json.load(f)
+        print("reusing untrained FID from", before_path, flush=True)
     if before is None:
         before = diff_cifar.evaluate(cfg, model, init_params, sch,
                                      jax.random.PRNGKey(7),
                                      n_levels_used=model.n_levels,
                                      resolution=32, num_images=args.images,
                                      batch_size=args.eval_batch)
+        before = {k: v for k, v in before.items() if np.isscalar(v)}
+        with open(before_path, "w") as f:
+            json.dump(before, f, indent=1)
         print("FID before training:", json.dumps(before), flush=True)
 
     curve = {}
@@ -326,10 +339,32 @@ def main(argv=None):
                                             num_images=args.images,
                                             batch_size=args.eval_batch)
             else:
-                cfg.train.num_iterations_list = (
-                    stage_iters[:j + 1] if stage_iters else [m])
+                if stage_iters:
+                    # Always pass the FULL schedule: a prefix of length 1
+                    # would hit StageSpec.from_schedule's single-stage
+                    # special case and train stage 0 at FULL resolution
+                    # (reference semantics for a length-1 list), not at
+                    # res 32>>nd.  stop_after_steps halts exactly at this
+                    # stage's boundary with a checkpoint; the next
+                    # milestone resumes into the following stage.
+                    cfg.train.num_iterations_list = list(stage_iters)
+                    cfg.train.stop_after_steps = m
+                else:
+                    cfg.train.num_iterations_list = [m]
                 state = diff_cifar.train(cfg)
                 cfg.train.resume = True  # later milestones continue the run
+                # fresh manager: the pre-training `ckpt` instance caches
+                # the (then-empty) step list and reports None forever
+                cur = CheckpointManager(
+                    os.path.join(args.logdir, "ckpt")).latest_step() or 0
+                if cur < m:
+                    # a stop file interrupted the stage mid-training
+                    # (diff_cifar._stop_file): never record a pre-milestone
+                    # state under this milestone's key
+                    print(f"training stopped early at step {cur} < {m}; "
+                          f"rerun with --resume to continue the curve",
+                          flush=True)
+                    break
                 after = diff_cifar.evaluate(cfg, model, state.ema_params, sch,
                                             jax.random.PRNGKey(7),
                                             n_levels_used=nl,

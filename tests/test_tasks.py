@@ -101,6 +101,36 @@ def test_diff_cifar_staged_end_to_end(tmp_path):
     assert float(np.abs(np.asarray(out)).max()) <= 1.0
 
 
+def test_diff_cifar_stop_file_graceful_exit(tmp_path, monkeypatch):
+    """A bench-drain stop file halts training at the next step boundary
+    with a checkpoint; clearing it and rerunning with resume completes the
+    schedule bit-exactly from the kept step (bench.py::_drain_chains)."""
+    stop = tmp_path / "stop"
+    monkeypatch.setattr(diff_cifar, "STOP_FILES", (str(stop),))
+    cfg = diff_cifar.Config()
+    cfg.data.synthetic_size = 16
+    cfg.data.batch_size = 4
+    cfg.model.ch = 32
+    cfg.model.ch_mult = [1]
+    cfg.model.attn = []
+    cfg.model.num_res_blocks = 1
+    cfg.model.dropout = 0.0
+    cfg.diffusion.T = 4
+    cfg.train.num_iterations_list = [5]
+    cfg.train.warmup = 2
+    cfg.train.logdir = str(tmp_path / "cifar")
+    stop.write_text("drain request\n")
+    state = diff_cifar.train(cfg)
+    assert int(state.step) < 5          # exited early...
+    from unet_design_tpu.train.checkpoint import CheckpointManager
+    ckpt = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt"))
+    assert ckpt.latest_step() == int(state.step)   # ...with a checkpoint
+    stop.unlink()
+    cfg.train.resume = True
+    state = diff_cifar.train(cfg)
+    assert int(state.step) == 5
+
+
 @pytest.mark.slow
 def test_pde_staged_end_to_end(tmp_path):
     cfg = pde.Config()

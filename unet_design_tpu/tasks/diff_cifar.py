@@ -105,6 +105,20 @@ class TrainConfig:
     logdir: str = "runs/diff_cifar"
 
 
+# Chain/bench drain protocol (bench.py::_drain_chains): a stop file asks any
+# TPU-holding job to checkpoint and exit at its next step boundary, so the
+# round-end bench capture never contends with a multi-thousand-step stage.
+STOP_FILES = ("/tmp/r3_stop", "/tmp/r4_stop", "/tmp/r4b_stop",
+              "/tmp/r4c_stop", "/tmp/r5_stop")
+
+
+def _stop_file() -> Optional[str]:
+    for s in STOP_FILES:
+        if os.path.exists(s):
+            return s
+    return None
+
+
 @dataclasses.dataclass
 class Config:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
@@ -463,12 +477,17 @@ def train(cfg: Config):
                          and step_count % cfg.train.save_step == 0)
             if saved_now:
                 save_full(step_count, state)
-            if (cfg.train.stop_after_steps
-                    and step_count >= cfg.train.stop_after_steps):
-                # graceful preemption (time-limited jobs): checkpoint and
-                # leave; a resume=True rerun continues bit-exactly
+            stopped = _stop_file()
+            if stopped or (cfg.train.stop_after_steps
+                           and step_count >= cfg.train.stop_after_steps):
+                # graceful preemption (time-limited jobs / bench drain):
+                # checkpoint and leave; a resume=True rerun continues
+                # bit-exactly
                 if not saved_now:
                     save_full(step_count, state)
+                if stopped:
+                    print(f"stop file {stopped} — checkpointed at step "
+                          f"{step_count} and exiting", flush=True)
                 metrics.close()
                 return state
         params = state.params
