@@ -15,3 +15,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _no_ambient_stop_files(monkeypatch):
+    """Trainers honor /tmp stop files (bench/chain drain protocol); a file
+    left by a concurrently-draining TPU chain must not abort test training
+    loops.  Tests of the stop behavior re-monkeypatch their own path."""
+    from unet_design_tpu.tasks import diff_cifar, pde
+    from unet_design_tpu.train import trainer
+    for mod in (trainer, diff_cifar, pde):
+        monkeypatch.setattr(mod, "STOP_FILES", (), raising=False)

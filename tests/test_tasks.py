@@ -213,6 +213,36 @@ def test_pde_plain_model(tmp_path):
     assert state is not None
 
 
+def test_pde_stop_file_graceful_exit(tmp_path, monkeypatch):
+    """A bench-drain stop file halts PDE training at the next epoch
+    boundary with a full-state checkpoint; clearing it and rerunning with
+    resume completes the schedule (bench.py::_drain_chains)."""
+    stop = tmp_path / "stop"
+    monkeypatch.setattr(pde, "STOP_FILES", (str(stop),))
+    cfg = pde.Config()
+    cfg.data.task = "synthetic"
+    cfg.data.resolution = 32
+    cfg.data.trajlen = 8
+    cfg.data.n_synthetic = 2
+    cfg.data.batch_size = 2
+    cfg.data.max_num_steps = 1
+    cfg.model.name = "Unetbase-64"
+    cfg.model.hidden_channels = 8
+    cfg.train.num_epochs_list = [3]
+    cfg.train.warmup_epochs = 1
+    cfg.train.logdir = str(tmp_path / "pde")
+    stop.write_text("drain request\n")
+    pde.train(cfg)
+    from unet_design_tpu.train.checkpoint import CheckpointManager
+    latest = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt_latest"))
+    assert latest.latest_step() == 0      # stopped after epoch 0, ckpt kept
+    stop.unlink()
+    cfg.train.resume = True
+    pde.train(cfg)
+    latest = CheckpointManager(os.path.join(cfg.train.logdir, "ckpt_latest"))
+    assert latest.latest_step() == 2      # completed all 3 epochs
+
+
 def test_wmh_end_to_end(tmp_path):
     cfg = wmh.Config()
     cfg.data.synthetic = True

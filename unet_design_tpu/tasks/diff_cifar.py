@@ -108,15 +108,12 @@ class TrainConfig:
 # Chain/bench drain protocol (bench.py::_drain_chains): a stop file asks any
 # TPU-holding job to checkpoint and exit at its next step boundary, so the
 # round-end bench capture never contends with a multi-thousand-step stage.
-STOP_FILES = ("/tmp/r3_stop", "/tmp/r4_stop", "/tmp/r4b_stop",
-              "/tmp/r4c_stop", "/tmp/r5_stop")
+# Module-level re-export: tests monkeypatch THIS name per task module.
+STOP_FILES = trainer.STOP_FILES
 
 
 def _stop_file() -> Optional[str]:
-    for s in STOP_FILES:
-        if os.path.exists(s):
-            return s
-    return None
+    return trainer.stop_file_present(STOP_FILES)
 
 
 @dataclasses.dataclass

@@ -37,6 +37,10 @@ from unet_design_tpu.utils.logging import MetricsLogger, get_logger
 
 log = get_logger(__name__)
 
+# bench/chain drain protocol; module-level so tests monkeypatch per task
+# (see trainer.STOP_FILES and bench.py::_drain_chains)
+STOP_FILES = trainer.STOP_FILES
+
 
 @dataclasses.dataclass
 class ModelConfig:
@@ -591,8 +595,9 @@ def train(cfg: Config):
                           extra={"epoch": epoch, "best_val": best_val})
 
         # ---- epoch-granular full-state checkpoint (resume point)
-        stopping = (cfg.train.stop_after_epochs and epoch + 1 >=
-                    start_epoch + cfg.train.stop_after_epochs)
+        stopped = trainer.stop_file_present(STOP_FILES)
+        stopping = stopped or (cfg.train.stop_after_epochs and epoch + 1 >=
+                               start_epoch + cfg.train.stop_after_epochs)
         if ((epoch + 1) % max(cfg.train.save_latest_every, 1) == 0
                 or stopping or epoch + 1 == n_epochs_total):
             full = {"params": state.params, "opt_state": state.opt_state,
@@ -603,8 +608,9 @@ def train(cfg: Config):
                              extra={"step": step,
                                     "best_val": float(best_val)})
         if stopping:
-            log.info("Stopping after %d epochs (graceful preemption)",
-                     epoch + 1)
+            log.info("Stopping after %d epochs (%s)", epoch + 1,
+                     f"stop file {stopped}" if stopped
+                     else "graceful preemption")
             break
 
     metrics_logger.close()

@@ -18,6 +18,7 @@ own compiled step, exactly n_stages compilations.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -27,6 +28,21 @@ from flax import struct
 
 from unet_design_tpu.train import freezing as freezing_lib
 from unet_design_tpu.train.ema import ema_update
+
+
+# Chain/bench drain protocol (bench.py::_drain_chains): a stop file asks any
+# TPU-holding trainer to checkpoint and exit at its next step/epoch boundary,
+# so the round-end bench capture never contends with a long stage or arm.
+# Task modules re-export this tuple so tests can monkeypatch per-module.
+STOP_FILES = ("/tmp/r3_stop", "/tmp/r4_stop", "/tmp/r4b_stop",
+              "/tmp/r4c_stop", "/tmp/r5_stop")
+
+
+def stop_file_present(paths) -> Optional[str]:
+    for s in paths:
+        if os.path.exists(s):
+            return s
+    return None
 
 
 class TrainState(struct.PyTreeNode):
