@@ -29,6 +29,12 @@ def main(argv=None):
                    help="dataset/protocol description embedded in the table "
                         "note (change when pointing --unet-json/--fno-run at "
                         "a different scale's artifacts)")
+    p.add_argument("--fno-prev-json", default=None,
+                   help="a previously-written table1_rebuttal.json whose "
+                        "FNO entry (single-seed metrics or an aggregated "
+                        "entry with a 'seeds' list) is merged with the new "
+                        "--fno-run as additional training seeds; the FNO "
+                        "row then reports mean +/- sample std across seeds")
     args = p.parse_args(argv)
 
     fno_path = os.path.join(args.fno_run, "test_metrics.json")
@@ -40,7 +46,33 @@ def main(argv=None):
     with open(args.unet_json) as f:
         merged = json.load(f)
     with open(fno_path) as f:
-        merged["FNO-128-8m (30 epochs)"] = json.load(f)
+        fno_seeds = [json.load(f)]
+    if args.fno_prev_json and os.path.exists(args.fno_prev_json):
+        with open(args.fno_prev_json) as f:
+            prev = json.load(f)
+        prev_fno = next((v for k, v in prev.items()
+                         if k.startswith("FNO-128-8m")), None)
+        if prev_fno is not None:
+            fno_seeds = list(prev_fno.get("seeds", [prev_fno])) + fno_seeds
+    if len(fno_seeds) == 1:
+        merged["FNO-128-8m (30 epochs)"] = fno_seeds[0]
+    else:
+        keys = ("test/loss/mse", "test/loss/scaledl2",
+                "test/unrolled_loss_mean")
+        n = len(fno_seeds)
+        agg = {"seeds": fno_seeds, "n_seeds": n}
+        for k in keys:
+            vals = [s[k] for s in fno_seeds]
+            mean = sum(vals) / n
+            agg[k] = mean
+            agg[k + "_seed_std"] = (
+                sum((v - mean) ** 2 for v in vals) / (n - 1)) ** 0.5
+        # the rollout row's printed +/- becomes the ACROSS-SEED std (the
+        # single-seed rows print the bootstrap std across test trajs)
+        agg["test/unrolled_loss_std"] = agg[
+            "test/unrolled_loss_mean_seed_std"]
+        merged[f"FNO-128-8m (30 epochs, n={n} seeds, "
+               "+/- = seed std)"] = agg
 
     lines = [
         "# Rebuttal table reproduction — FNO vs U-Net (Navier-Stokes 2D)",
@@ -57,11 +89,20 @@ def main(argv=None):
         "|---|---|---|---|",
     ]
     for label, m in merged.items():
-        lines.append(
-            f"| {label} | {m['test/loss/mse']:.3e} "
-            f"| {m['test/loss/scaledl2']:.4f} "
-            f"| {m['test/unrolled_loss_mean']:.4f} +/- "
-            f"{m['test/unrolled_loss_std']:.4f} |")
+        if "test/loss/mse_seed_std" in m:   # seed-aggregated FNO row
+            lines.append(
+                f"| {label} | {m['test/loss/mse']:.3e} +/- "
+                f"{m['test/loss/mse_seed_std']:.1e} "
+                f"| {m['test/loss/scaledl2']:.4f} +/- "
+                f"{m['test/loss/scaledl2_seed_std']:.4f} "
+                f"| {m['test/unrolled_loss_mean']:.4f} +/- "
+                f"{m['test/unrolled_loss_std']:.4f} |")
+        else:
+            lines.append(
+                f"| {label} | {m['test/loss/mse']:.3e} "
+                f"| {m['test/loss/scaledl2']:.4f} "
+                f"| {m['test/unrolled_loss_mean']:.4f} +/- "
+                f"{m['test/unrolled_loss_std']:.4f} |")
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     with open(args.json_out, "w") as f:
